@@ -1,0 +1,142 @@
+"""Multi-chip rendering and differentiable fitting over a device mesh.
+
+The reference's only parallelism is CPU-thread data parallelism: 2048-point
+batch chunks (Sdf.cs:38-45) and image row bands (RayMarcher.cs:50-61). Here
+the same 1-D domain decomposition is lifted onto a ``jax.sharding.Mesh``:
+image rows (ray tiles) are sharded over the ``rays`` axis with ``shard_map``;
+rendering needs no cross-chip communication at all, and the gradient of the
+replicated SDF parameters is all-reduced over ICI automatically by
+``shard_map``'s replicated ``P()`` in-spec during the backward pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sdfkit_tpu.render.raymarch import (
+    RenderConfig,
+    render_depth_rays,
+    render_rays,
+)
+from sdfkit_tpu.utils.camera import camera_rays, default_view
+
+
+def _ray_specs():
+    # V3 pytrees: shard the leading (row) axis of every component.
+    return P("rays")
+
+
+def shard_rays(mesh: Mesh, *arrays):
+    """Place (H, ...) arrays/pytrees row-sharded over the mesh's rays axis."""
+    sharding = NamedSharding(mesh, P("rays"))
+    return tuple(
+        jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), arr)
+        for arr in arrays
+    )
+
+
+def render_sharded(
+    mesh: Mesh,
+    sdf,
+    width: int,
+    height: int,
+    view=None,
+    depth_only: bool = False,
+    **cfg_kwargs,
+):
+    """Render with image rows sharded over the mesh (zero communication;
+    the multi-chip analogue of RayMarcher.Render's row-band Parallel.For)."""
+    cfg = RenderConfig(width=width, height=height, **cfg_kwargs)
+    if view is None:
+        view = default_view()
+    view = jnp.asarray(view, jnp.float32)
+    if height % mesh.devices.size != 0:
+        raise ValueError(
+            f"height {height} must divide evenly over {mesh.devices.size} devices"
+        )
+
+    ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
+    ro, rd = shard_rays(mesh, ro, rd)
+
+    fn = render_depth_rays if depth_only else render_rays
+    local = lambda sdf, ro, rd: fn(sdf, ro, rd, cfg)
+    shmapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), _ray_specs(), _ray_specs()),
+        out_specs=_ray_specs(),
+    )
+    return jax.jit(shmapped)(sdf, ro, rd)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _train_step_impl(mesh, sdf, ro, rd, cfg, target, lr):
+    def loss_fn(sdf):
+        local = lambda sdf, ro, rd: render_rays(sdf, ro, rd, cfg)
+        img = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), _ray_specs(), _ray_specs()),
+            out_specs=_ray_specs(),
+        )(sdf, ro, rd)
+        return jnp.mean((img - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(sdf)
+    new_sdf = jax.tree_util.tree_map(lambda p, g: p - lr * g, sdf, grads)
+    return new_sdf, loss
+
+
+def train_step_sharded(mesh: Mesh, sdf, target, view=None, lr: float = 1e-2,
+                       **cfg_kwargs):
+    """One differentiable fitting step: render the SDF over the mesh, compare
+    to the target image, SGD-update the SDF's pytree parameters. The gradient
+    all-reduce over the replicated parameters rides ICI (inserted by XLA from
+    the shard_map replication spec)."""
+    height, width = target.shape[:2]
+    cfg = RenderConfig(width=width, height=height, **cfg_kwargs)
+    if view is None:
+        view = default_view()
+    view = jnp.asarray(view, jnp.float32)
+
+    ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
+    ro, rd, (target,) = (*shard_rays(mesh, ro, rd), shard_rays(mesh, target))
+
+    return _train_step_impl(mesh, sdf, ro, rd, cfg, target, jnp.float32(lr))
+
+
+def voxelize_sharded(mesh: Mesh, sdf, vmin, vmax, nx: int, ny: int, nz: int,
+                     clip_to_bounds: bool = True):
+    """Dense grid sampling with x-bricks sharded over the mesh."""
+    from sdfkit_tpu.mesh.voxels import Voxels
+    from sdfkit_tpu.ops.grid import cell_centers, clip_values_to_bounds
+
+    if nx % mesh.devices.size != 0:
+        raise ValueError(f"nx {nx} must divide over {mesh.devices.size} devices")
+    vmin = jnp.asarray(vmin, jnp.float32)
+    vmax = jnp.asarray(vmax, jnp.float32)
+    p = cell_centers(vmin, vmax, nx, ny, nz)
+    (p,) = shard_rays(mesh, p)  # leading axis = x bricks
+
+    def local(sdf, p):
+        color, dist = sdf.eval(p)
+        colors = jnp.stack(
+            [jnp.broadcast_to(c, dist.shape) for c in (color.x, color.y, color.z)],
+            axis=-1,
+        )
+        return dist, colors
+
+    values, colors = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P("rays")),
+            out_specs=(P("rays"), P("rays")),
+        )
+    )(sdf, p)
+    if clip_to_bounds:
+        values = clip_values_to_bounds(values, vmin, vmax)
+    return Voxels(values=values, colors=colors, vmin=vmin, vmax=vmax)

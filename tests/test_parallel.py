@@ -1,0 +1,81 @@
+"""Multi-device sharding tests (8 virtual CPU devices, see conftest.py).
+
+Asserts the sharded paths are bit-identical to single-device execution —
+the determinism guarantee the reference gets from disjoint Parallel.For
+slices (SURVEY.md section 5, race detection).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import sdfkit_tpu as sk
+from sdfkit_tpu.parallel.train import (
+    render_sharded,
+    train_step_sharded,
+    voxelize_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = np.array(jax.devices()[:8])
+    return Mesh(devices, axis_names=("rays",))
+
+
+def scene():
+    return sk.sphere(0.5, color=(0.9, 0.5, 0.2)).repeat_xy(1.5, 1.5) | sk.box(
+        0.25
+    ).translate(0, 0, -2)
+
+
+class TestRenderSharded:
+    def test_matches_single_device(self, mesh):
+        s = scene()
+        img1 = np.asarray(sk.render(s, 32, 16))
+        img8 = np.asarray(render_sharded(mesh, s, 32, 16))
+        np.testing.assert_array_equal(img1, img8)
+
+    def test_depth_matches(self, mesh):
+        s = scene()
+        d1 = np.asarray(sk.render_depth(s, 32, 16))
+        d8 = np.asarray(render_sharded(mesh, s, 32, 16, depth_only=True))
+        np.testing.assert_array_equal(d1, d8)
+
+    def test_rejects_indivisible_height(self, mesh):
+        with pytest.raises(ValueError):
+            render_sharded(mesh, scene(), 32, 15)
+
+
+class TestVoxelizeSharded:
+    def test_matches_single_device(self, mesh):
+        s = scene()
+        v1 = sk.voxelize(s, (-1, -1, -1), (1, 1, 1), 16, 8, 8)
+        v8 = voxelize_sharded(mesh, s, (-1, -1, -1), (1, 1, 1), 16, 8, 8)
+        np.testing.assert_array_equal(np.asarray(v1.values), np.asarray(v8.values))
+        np.testing.assert_array_equal(np.asarray(v1.colors), np.asarray(v8.colors))
+
+
+class TestTrainStepSharded:
+    def test_step_reduces_loss(self, mesh):
+        s = sk.sphere(1.0, color=(0.5, 0.5, 0.5))
+        target = jnp.zeros((16, 24, 3), jnp.float32)
+        s1, l1 = train_step_sharded(mesh, s, target, lr=0.05)
+        s2, l2 = train_step_sharded(mesh, s1, target, lr=0.05)
+        assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+        assert float(l2) < float(l1)
+
+    def test_grads_replicated_consistently(self, mesh):
+        # The updated params must be identical to a single-device update.
+        s = sk.sphere(1.0, color=(0.5, 0.5, 0.5))
+        target = jnp.zeros((16, 24, 3), jnp.float32)
+
+        single = Mesh(np.array(jax.devices()[:1]), axis_names=("rays",))
+        s_multi, _ = train_step_sharded(mesh, s, target, lr=0.05)
+        s_single, _ = train_step_sharded(single, s, target, lr=0.05)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_multi), jax.tree_util.tree_leaves(s_single)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
