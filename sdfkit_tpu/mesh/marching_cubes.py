@@ -1,11 +1,509 @@
-"""Lewiner MC33 marching cubes — placeholder, implemented in the next slice.
+"""Lewiner MC33 marching cubes with color interpolation.
 
 Reference: SdfKit/MarchingCubes.cs + Cell.cs + Luts.cs (ported there from
-scikit-image's _marching_cubes_lewiner_cy.pyx).
+scikit-image's _marching_cubes_lewiner_cy.pyx). Behavior reproduced exactly —
+same case/subcase dispatch with face/internal ambiguity tests in float64
+(FLT_EPSILON = 1e-7, MarchingCubes.cs:37), same inverse-|value| vertex and
+color interpolation (Cell.cs:272-359), same per-reference gradient
+accumulation into normals (including the reference's packed-index/MC-corner
+vg indexing quirk, Cell.cs:453-498), same first-occurrence vertex ordering —
+so the reference's golden vertex counts transfer.
+
+Architecture (TPU-first split): the dense O(n^3) work — SDF evaluation — runs
+on device (ops/grid.py); cell classification is vectorized; and the sparse
+O(surface) work — case dispatch, vertex welding via canonical edge keys,
+gradient scatter-add — is vectorized numpy on host, replacing the reference's
+strictly sequential per-cell loop and rolling face-layer dedup
+(MarchingCubes.cs:53-80, Cell.cs:123-143) with grouped array ops. The
+sequential face-layer trick exists only to keep the dedup table small; the
+canonical-key formulation is order-free and parallel.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
+from sdfkit_tpu.mesh import luts
+from sdfkit_tpu.mesh.mesh import Mesh
+
+FLT_EPSILON = 1e-7  # MarchingCubes.cs:37, Cell.cs:63
+
+
+def _test_face(face, v8):
+    """Vectorized MarchingCubes.TestFace (MarchingCubes.cs:376-407).
+
+    face: (m,) int array of signed face ids; v8: (8, m) corner values.
+    Returns (m,) bool.
+    """
+    face = np.asarray(face, np.int64)
+    abs_face = np.abs(face)
+    corners = luts.FACE_CORNERS[abs_face]  # (m, 4)
+    m = np.arange(face.shape[0])
+    A = v8[corners[:, 0], m]
+    B = v8[corners[:, 1], m]
+    C = v8[corners[:, 2], m]
+    D = v8[corners[:, 3], m]
+    ac_bd = A * C - B * D
+    near_zero = (ac_bd > -FLT_EPSILON) & (ac_bd < FLT_EPSILON)
+    return np.where(near_zero, face >= 0, face * A * ac_bd >= 0)
+
+
+def _test_internal(cas, s, v8, edge=None):
+    """Vectorized MarchingCubes.TestInternal (MarchingCubes.cs:412-546).
+
+    cas: python int (4, 6, 7, 10, 12 or 13); s: (m,) signed test values;
+    edge: (m,) reference edge for cases 6/7/12/13. Returns (m,) bool.
+    """
+    s = np.asarray(s, np.float64)
+    m = s.shape[0]
+    idx = np.arange(m)
+
+    if cas in (4, 10):
+        a = (v8[4] - v8[0]) * (v8[6] - v8[2]) - (v8[7] - v8[3]) * (v8[5] - v8[1])
+        b = (
+            v8[2] * (v8[4] - v8[0])
+            + v8[0] * (v8[6] - v8[2])
+            - v8[1] * (v8[7] - v8[3])
+            - v8[3] * (v8[5] - v8[1])
+        )
+        t = -b / (2.0 * a + FLT_EPSILON)
+        early = (t < 0) | (t > 1)
+        At = v8[0] + (v8[4] - v8[0]) * t
+        Bt = v8[3] + (v8[7] - v8[3]) * t
+        Ct = v8[2] + (v8[6] - v8[2]) * t
+        Dt = v8[1] + (v8[5] - v8[1]) * t
+    else:
+        edge = np.asarray(edge, np.int64)
+        t0 = luts.INT_T[edge, 0]
+        t1 = luts.INT_T[edge, 1]
+        va = v8[t0, idx]
+        vb = v8[t1, idx]
+        t = va / (va - vb + FLT_EPSILON)
+        early = np.zeros(m, bool)
+        At = np.zeros(m)
+
+        def interp(tab):
+            x0 = v8[tab[edge, 0], idx]
+            x1 = v8[tab[edge, 1], idx]
+            return x0 + (x1 - x0) * t
+
+        Bt = interp(luts.INT_B)
+        Ct = interp(luts.INT_C)
+        Dt = interp(luts.INT_D)
+
+    test = (
+        (At >= 0).astype(np.int64)
+        + 2 * (Bt >= 0).astype(np.int64)
+        + 4 * (Ct >= 0).astype(np.int64)
+        + 8 * (Dt >= 0).astype(np.int64)
+    )
+    # Outcome per test nibble (MarchingCubes.cs:526-545): True means "s>0
+    # wins". tests {0..4,6,8,9,12} -> s>0; {7,11,13,14,15} -> s<0; 5 and 10
+    # depend on the saddle product sign.
+    saddle = At * Ct - Bt * Dt
+    pos = np.isin(test, (0, 1, 2, 3, 4, 6, 8, 9, 12))
+    pos |= (test == 5) & (saddle < FLT_EPSILON)
+    pos |= (test == 10) & (saddle >= FLT_EPSILON)
+    result = np.where(pos, s > 0, s < 0)
+    return np.where(early, s > 0, result)
+
+
+def _dispatch(casenum, config, v8):
+    """Vectorized TheBigSwitch (MarchingCubes.cs:94-371).
+
+    casenum, config: (m,) int arrays for active cells; v8: (8, m) float64.
+    Returns a list of (cell_indices, vi_rows) where vi_rows is
+    (len(cell_indices), 3*nt) of edge indices 0..12.
+    """
+    groups = []
+
+    def emit(sel, lut, cfg, nt, sub=None):
+        if sel.size == 0:
+            return
+        if sub is None:
+            rows = lut[cfg, : 3 * nt]
+        else:
+            rows = lut[cfg, sub, : 3 * nt]
+        groups.append((sel, rows))
+
+    def faces_of(sel, face_ids):
+        return _test_face(face_ids, v8[:, sel])
+
+    for cas in range(1, 15):
+        mask = casenum == cas
+        if not mask.any():
+            continue
+        sel = np.nonzero(mask)[0]
+        cfg = config[sel]
+
+        if cas == 1:
+            emit(sel, luts.tiling1, cfg, 1)
+        elif cas == 2:
+            emit(sel, luts.tiling2, cfg, 2)
+        elif cas == 3:
+            t = faces_of(sel, luts.test3[cfg])
+            emit(sel[t], luts.tiling3_2, cfg[t], 4)
+            emit(sel[~t], luts.tiling3_1, cfg[~t], 2)
+        elif cas == 4:
+            t = _test_internal(4, luts.test4[cfg], v8[:, sel])
+            emit(sel[t], luts.tiling4_1, cfg[t], 2)
+            emit(sel[~t], luts.tiling4_2, cfg[~t], 6)
+        elif cas == 5:
+            emit(sel, luts.tiling5, cfg, 3)
+        elif cas == 6:
+            f = faces_of(sel, luts.test6[cfg, 0])
+            emit(sel[f], luts.tiling6_2, cfg[f], 5)
+            s2, c2 = sel[~f], cfg[~f]
+            ti = _test_internal(
+                6, luts.test6[c2, 1], v8[:, s2], edge=luts.test6[c2, 2]
+            )
+            emit(s2[ti], luts.tiling6_1_1, c2[ti], 3)
+            emit(s2[~ti], luts.tiling6_1_2, c2[~ti], 9)
+        elif cas == 7:
+            sub = (
+                faces_of(sel, luts.test7[cfg, 0]).astype(np.int64)
+                + 2 * faces_of(sel, luts.test7[cfg, 1]).astype(np.int64)
+                + 4 * faces_of(sel, luts.test7[cfg, 2]).astype(np.int64)
+            )
+            m0 = sub == 0
+            emit(sel[m0], luts.tiling7_1, cfg[m0], 3)
+            for sc, k in ((1, 0), (2, 1), (4, 2)):
+                mk = sub == sc
+                emit(sel[mk], luts.tiling7_2, cfg[mk], 5, sub=k)
+            for sc, k in ((3, 0), (5, 1), (6, 2)):
+                mk = sub == sc
+                emit(sel[mk], luts.tiling7_3, cfg[mk], 9, sub=k)
+            m7 = sub == 7
+            s7, c7 = sel[m7], cfg[m7]
+            ti = _test_internal(
+                7, luts.test7[c7, 3], v8[:, s7], edge=luts.test7[c7, 4]
+            )
+            emit(s7[ti], luts.tiling7_4_2, c7[ti], 9)
+            emit(s7[~ti], luts.tiling7_4_1, c7[~ti], 5)
+        elif cas == 8:
+            emit(sel, luts.tiling8, cfg, 2)
+        elif cas == 9:
+            emit(sel, luts.tiling9, cfg, 4)
+        elif cas in (10, 12):
+            test_t = luts.test10 if cas == 10 else luts.test12
+            t11_ = luts.tiling10_1_1_ if cas == 10 else luts.tiling12_1_1_
+            t2 = luts.tiling10_2 if cas == 10 else luts.tiling12_2
+            t2_ = luts.tiling10_2_ if cas == 10 else luts.tiling12_2_
+            t11 = luts.tiling10_1_1 if cas == 10 else luts.tiling12_1_1
+            t12 = luts.tiling10_1_2 if cas == 10 else luts.tiling12_1_2
+            f0 = faces_of(sel, test_t[cfg, 0])
+            f1 = faces_of(sel, test_t[cfg, 1])
+            m_a = f0 & f1
+            m_b = f0 & ~f1
+            m_c = ~f0 & f1
+            m_d = ~f0 & ~f1
+            emit(sel[m_a], t11_, cfg[m_a], 4)
+            emit(sel[m_b], t2, cfg[m_b], 8)
+            emit(sel[m_c], t2_, cfg[m_c], 8)
+            sd, cd = sel[m_d], cfg[m_d]
+            if cas == 10:
+                ti = _test_internal(10, test_t[cd, 2], v8[:, sd])
+            else:
+                ti = _test_internal(
+                    12, test_t[cd, 2], v8[:, sd], edge=test_t[cd, 3]
+                )
+            emit(sd[ti], t11, cd[ti], 4)
+            emit(sd[~ti], t12, cd[~ti], 8)
+        elif cas == 11:
+            emit(sel, luts.tiling11, cfg, 4)
+        elif cas == 13:
+            bits = np.zeros(sel.shape[0], np.int64)
+            for b in range(6):
+                bits += (1 << b) * faces_of(sel, luts.test13[cfg, b]).astype(
+                    np.int64
+                )
+            sub = luts.subconfig13[bits].astype(np.int64)
+            m0 = sub == 0
+            emit(sel[m0], luts.tiling13_1, cfg[m0], 4)
+            for sc in range(1, 7):
+                mk = sub == sc
+                emit(sel[mk], luts.tiling13_2, cfg[mk], 6, sub=sc - 1)
+            for sc in range(7, 19):
+                mk = sub == sc
+                emit(sel[mk], luts.tiling13_3, cfg[mk], 10, sub=sc - 7)
+            for sc in range(19, 23):
+                mk = sub == sc
+                emit(sel[mk], luts.tiling13_4, cfg[mk], 12, sub=sc - 19)
+            for sc in range(23, 27):
+                mk = sub == sc
+                sk, ck = sel[mk], cfg[mk]
+                s2 = sc - 23
+                edge = luts.tiling13_5_1[ck, s2, 0]
+                ti = _test_internal(13, luts.test13[ck, 6], v8[:, sk], edge=edge)
+                emit(
+                    sk[ti],
+                    luts.tiling13_5_1,
+                    ck[ti],
+                    6,
+                    sub=np.full(ti.sum(), s2),
+                )
+                emit(
+                    sk[~ti],
+                    luts.tiling13_5_2,
+                    ck[~ti],
+                    10,
+                    sub=np.full((~ti).sum(), s2),
+                )
+            for sc in range(27, 39):
+                mk = sub == sc
+                emit(sel[mk], luts.tiling13_3_, cfg[mk], 10, sub=sc - 27)
+            for sc in range(39, 45):
+                mk = sub == sc
+                emit(sel[mk], luts.tiling13_2_, cfg[mk], 6, sub=sc - 39)
+            m45 = sub == 45
+            emit(sel[m45], luts.tiling13_1_, cfg[m45], 4)
+        elif cas == 14:
+            emit(sel, luts.tiling14, cfg, 4)
+
+    return groups
+
+
+def _corner_gradients(v8):
+    """Per-cell corner gradients vg (Cell.PrepareForAddingTriangles,
+    Cell.cs:486-498), MC corner numbering, shape (8, 3, m)."""
+    v0, v1, v2, v3, v4, v5, v6, v7 = v8
+    gx = np.stack([v0 - v1, v0 - v1, v3 - v2, v3 - v2, v4 - v5, v4 - v5,
+                   v7 - v6, v7 - v6])
+    gy = np.stack([v0 - v3, v1 - v2, v1 - v2, v0 - v3, v4 - v7, v5 - v6,
+                   v5 - v6, v4 - v7])
+    gz = np.stack([v0 - v4, v1 - v5, v2 - v6, v3 - v7, v0 - v4, v1 - v5,
+                   v2 - v6, v3 - v7])
+    return np.stack([gx, gy, gz], axis=1)  # (8, 3, m)
+
 
 def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
-    raise NotImplementedError("marching cubes lands in the next milestone")
+    """Extract the iso-surface mesh (MarchingCubes.CreateMesh,
+    MarchingCubes.cs:39-92)."""
+    values = np.asarray(voxels.values, np.float64) - float(iso_value)
+    colors = np.asarray(voxels.colors, np.float64)
+    nx, ny, nz = values.shape
+    step = int(step)
+
+    xs = np.arange(0, nx - step, step)
+    ys = np.arange(0, ny - step, step)
+    zs = np.arange(0, nz - step, step)
+    nz_bound = max(nz - 2 * step, 1)
+
+    if progress is not None:
+        progress(0.0)
+
+    if xs.size == 0 or ys.size == 0 or zs.size == 0:
+        mesh = Mesh(
+            np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0)
+        )
+        if progress is not None:
+            progress(1.0)
+        return mesh
+
+    # --- classification: corner gather in reference (z, y, x) cell order ---
+    # v8[k] is the value at MC corner k for every cell, flattened C-order over
+    # (z, y, x) to match the reference's loop nesting (MarchingCubes.cs:53-80).
+    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+    cx = X.ravel()
+    cy = Y.ravel()
+    cz = Z.ravel()
+
+    def corner(k):
+        return values[
+            cx + step * luts.CORNER_DX[k],
+            cy + step * luts.CORNER_DY[k],
+            cz + step * luts.CORNER_DZ[k],
+        ]
+
+    v8_full = np.stack([corner(k) for k in range(8)])  # (8, ncells)
+    case_index = np.zeros(v8_full.shape[1], np.int64)
+    for k in range(8):
+        case_index += (1 << k) * (v8_full[k] > 0.0)
+    casenum = luts.cases[case_index, 0].astype(np.int64)
+    config = luts.cases[case_index, 1].astype(np.int64)
+
+    active = np.nonzero(casenum > 0)[0]
+    if active.size == 0:
+        mesh = Mesh(
+            np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0)
+        )
+        if progress is not None:
+            progress(1.0)
+        return mesh
+
+    v8 = v8_full[:, active]
+    acx, acy, acz = cx[active], cy[active], cz[active]
+
+    # --- dispatch: per-cell tilings (TheBigSwitch) ---
+    groups = _dispatch(casenum[active], config[active], v8)
+
+    # --- assemble the global face stream in reference order ---
+    n_active = active.size
+    lens = np.zeros(n_active, np.int64)
+    for sel, rows in groups:
+        lens[sel] = rows.shape[1]
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    total = offsets[-1]
+    stream_vi = np.zeros(total, np.int64)
+    stream_cell = np.zeros(total, np.int64)
+    for sel, rows in groups:
+        L = rows.shape[1]
+        pos = offsets[sel][:, None] + np.arange(L)[None, :]
+        stream_vi[pos] = rows
+        stream_cell[pos] = sel[:, None]
+
+    # --- vertex welding via canonical edge keys ---
+    svi = stream_vi
+    kx = acx[stream_cell] + step * luts.KEY_OX[svi]
+    ky = acy[stream_cell] + step * luts.KEY_OY[svi]
+    kz = acz[stream_cell] + step * luts.KEY_OZ[svi]
+    kj = luts.KEY_J[svi].astype(np.int64)
+    keys = ((kz.astype(np.int64) * ny + ky) * nx + kx) * 4 + kj
+
+    uniq, first_idx, inv = np.unique(keys, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    vertex_id = rank[inv]  # per stream entry
+    rep = first_idx[order]  # representative stream entry per vertex
+
+    # --- vertex positions and colors (Cell.AddFaceFromEdgeIndex /
+    #     CalculateCenterVertex interpolation) ---
+    n_verts = rep.size
+    verts = np.zeros((n_verts, 3))
+    vcols = np.zeros((n_verts, 3))
+
+    r_vi = stream_vi[rep]
+    r_cell = stream_cell[rep]
+    r_cx, r_cy, r_cz = acx[r_cell], acy[r_cell], acz[r_cell]
+
+    edge_m = r_vi < 12
+    if edge_m.any():
+        evi = r_vi[edge_m]
+        ex, ey, ez = r_cx[edge_m], r_cy[edge_m], r_cz[edge_m]
+        d1x = luts.edgesrelx[evi, 0].astype(np.float64)
+        d1y = luts.edgesrely[evi, 0].astype(np.float64)
+        d1z = luts.edgesrelz[evi, 0].astype(np.float64)
+        d2x = luts.edgesrelx[evi, 1].astype(np.float64)
+        d2y = luts.edgesrely[evi, 1].astype(np.float64)
+        d2z = luts.edgesrelz[evi, 1].astype(np.float64)
+
+        def grid_at(arr, dx, dy, dz):
+            return arr[
+                (ex + step * dx).astype(np.int64),
+                (ey + step * dy).astype(np.int64),
+                (ez + step * dz).astype(np.int64),
+            ]
+
+        va = grid_at(values, d1x, d1y, d1z)
+        vb = grid_at(values, d2x, d2y, d2z)
+        ca = grid_at(colors, d1x, d1y, d1z)
+        cb = grid_at(colors, d2x, d2y, d2z)
+        t1 = 1.0 / (FLT_EPSILON + np.abs(va))
+        t2 = 1.0 / (FLT_EPSILON + np.abs(vb))
+        ff = t1 + t2
+        verts[edge_m, 0] = ex + step * (d1x * t1 + d2x * t2) / ff
+        verts[edge_m, 1] = ey + step * (d1y * t1 + d2y * t2) / ff
+        verts[edge_m, 2] = ez + step * (d1z * t1 + d2z * t2) / ff
+        vcols[edge_m] = (ca * t1[:, None] + cb * t2[:, None]) / ff[:, None]
+
+    center_m = ~edge_m
+    if center_m.any():
+        cc = r_cell[center_m]
+        vv = v8[:, cc]  # (8, k)
+        strength = 1.0 / (FLT_EPSILON + np.abs(vv))
+        ff = strength.sum(axis=0)
+        fx = (strength * luts.CORNER_DX[:, None]).sum(axis=0)
+        fy = (strength * luts.CORNER_DY[:, None]).sum(axis=0)
+        fz = (strength * luts.CORNER_DZ[:, None]).sum(axis=0)
+        verts[center_m, 0] = r_cx[center_m] + step * fx / ff
+        verts[center_m, 1] = r_cy[center_m] + step * fy / ff
+        verts[center_m, 2] = r_cz[center_m] + step * fz / ff
+        # corner colors, MC numbering
+        ccol = np.stack(
+            [
+                colors[
+                    acx[cc] + step * luts.CORNER_DX[k],
+                    acy[cc] + step * luts.CORNER_DY[k],
+                    acz[cc] + step * luts.CORNER_DZ[k],
+                ]
+                for k in range(8)
+            ]
+        )  # (8, k, 3)
+        vcols[center_m] = (ccol * strength[:, :, None]).sum(axis=0) / ff[:, None]
+
+    # --- gradient accumulation into normals (every face reference
+    #     contributes; reproduces Cell.AddGradient* including the vg
+    #     packed-vs-MC indexing quirk at Cell.cs:314-333) ---
+    vg = _corner_gradients(v8)  # (8, 3, n_active) MC numbering
+    normals = np.zeros((n_verts, 3))
+
+    se_m = svi < 12
+    if se_m.any():
+        evi = svi[se_m]
+        ecell = stream_cell[se_m]
+        # packed index = dz*4 + dy*2 + dx (Cell.cs:318-319), used to index
+        # vv (remapped) AND vg (MC-numbered) — the quirk is using it for vg.
+        p1 = (
+            luts.edgesrelz[evi, 0].astype(np.int64) * 4
+            + luts.edgesrely[evi, 0] * 2
+            + luts.edgesrelx[evi, 0]
+        )
+        p2 = (
+            luts.edgesrelz[evi, 1].astype(np.int64) * 4
+            + luts.edgesrely[evi, 1] * 2
+            + luts.edgesrelx[evi, 1]
+        )
+        # vv is remapped so vv[packed] = value at that offset: gather from grid.
+        ex, ey, ez = acx[ecell], acy[ecell], acz[ecell]
+        va = values[
+            ex + step * luts.edgesrelx[evi, 0],
+            ey + step * luts.edgesrely[evi, 0],
+            ez + step * luts.edgesrelz[evi, 0],
+        ]
+        vb = values[
+            ex + step * luts.edgesrelx[evi, 1],
+            ey + step * luts.edgesrely[evi, 1],
+            ez + step * luts.edgesrelz[evi, 1],
+        ]
+        t1 = 1.0 / (FLT_EPSILON + np.abs(va))
+        t2 = 1.0 / (FLT_EPSILON + np.abs(vb))
+        contrib = (
+            vg[p1, :, ecell] * t1[:, None] + vg[p2, :, ecell] * t2[:, None]
+        )
+        np.add.at(normals, vertex_id[se_m], contrib)
+
+    sc_m = ~se_m
+    if sc_m.any():
+        ccell = stream_cell[sc_m]
+        vv = v8[:, ccell]
+        strength = 1.0 / (FLT_EPSILON + np.abs(vv))  # (8, k)
+        contrib = np.einsum("kc,kdc->cd", strength, vg[:, :, ccell])
+        np.add.at(normals, vertex_id[sc_m], contrib)
+
+    # --- finalize: negative normalized normals (Cell.cs:97-109), world
+    #     transform (MarchingCubes.cs:84-91) ---
+    norm = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = -normals / np.where(norm > 0, norm, 1.0)
+
+    size = np.asarray(voxels.size, np.float64)
+    center = np.asarray(voxels.center, np.float64)
+    n = np.array([nx, ny, nz], np.float64)
+    scale = size / (n - 1)
+    verts = (verts - (n - 1) / 2.0) * scale + center
+    normals = normals / scale
+    nn = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = normals / np.where(nn > 0, nn, 1.0)
+
+    if progress is not None:
+        # Reference reports z/nz_bound once per z layer
+        # (MarchingCubes.cs:81); emit the same sequence.
+        for z in zs:
+            progress(float(z) / nz_bound)
+
+    return Mesh(
+        verts.astype(np.float32),
+        vcols.astype(np.float32),
+        normals.astype(np.float32),
+        vertex_id.astype(np.int32),
+    )

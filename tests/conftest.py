@@ -7,7 +7,9 @@ multi-chip path; the bench runs on the real chip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the harness shell exports JAX_PLATFORMS=axon (the TPU tunnel),
+# but tests must be deterministic, multi-device, and off the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

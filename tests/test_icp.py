@@ -1,0 +1,144 @@
+"""Registration tests mirroring the reference's KdTreeTests and
+IterativeClosestPointTests scenarios (NN exactness; recovering known rigid
+transforms within 1e-4 translation / 1e-6 rotation-diagonal; robustness to a
+random 50% subset)."""
+
+import numpy as np
+import pytest
+
+from sdfkit_tpu.registration.icp import (
+    IterativeClosestPoint,
+    NearestNeighbors,
+    global_register_points,
+    nearest_neighbors,
+)
+
+THREE_POINTS = np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]], np.float32)
+
+
+def rot_x(rad):
+    """System.Numerics CreateRotationX, row-vector convention."""
+    c, s = np.cos(rad), np.sin(rad)
+    m = np.eye(4, dtype=np.float32)
+    m[1, 1], m[1, 2], m[2, 1], m[2, 2] = c, s, -s, c
+    return m
+
+
+def rot_y(rad):
+    c, s = np.cos(rad), np.sin(rad)
+    m = np.eye(4, dtype=np.float32)
+    m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, -s, s, c
+    return m
+
+
+def translation(x, y, z):
+    m = np.eye(4, dtype=np.float32)
+    m[3, :3] = [x, y, z]
+    return m
+
+
+def apply(points, m):
+    return points @ m[:3, :3] + m[3, :3]
+
+
+class TestNearestNeighbors:
+    def test_three_points(self):
+        nn = NearestNeighbors(THREE_POINTS)
+        assert nn.total_points == 3
+        nearest, dist = nn.search(np.array([0.0, 1.5, 0.0]))
+        np.testing.assert_array_equal(nearest, [0, 1, 0])
+        assert abs(dist - 0.5) < 1e-4
+
+    def test_random_points(self):
+        rng = np.random.default_rng(0)
+        pts = (1000.0 * (rng.random((10_000, 3)) * 2 - 1)).astype(np.float32)
+        nn = NearestNeighbors(pts)
+        qi = 1234
+        offset = np.array([0.01, 0.01, 0.01], np.float32)
+        nearest, dist = nn.search(pts[qi] + offset)
+        np.testing.assert_array_equal(nearest, pts[qi])
+        assert abs(dist - np.linalg.norm(offset)) < 1e-4
+
+    def test_batch_search_matches_loop(self):
+        rng = np.random.default_rng(1)
+        pts = rng.random((500, 3)).astype(np.float32)
+        qs = rng.random((40, 3)).astype(np.float32)
+        idx, dist = nearest_neighbors(pts, qs)
+        d2 = ((qs[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(idx), d2.argmin(1))
+
+    def test_chunking_consistent(self):
+        rng = np.random.default_rng(2)
+        pts = rng.random((5000, 3)).astype(np.float32)
+        qs = rng.random((64, 3)).astype(np.float32)
+        i1, d1 = nearest_neighbors(pts, qs, chunk=256)
+        i2, d2 = nearest_neighbors(pts, qs, chunk=5000)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+    def test_add_points(self):
+        nn = NearestNeighbors(THREE_POINTS)
+        nn.add_points([[5.0, 5.0, 5.0]])
+        nearest, _ = nn.search(np.array([4.9, 5.0, 5.0]))
+        np.testing.assert_array_equal(nearest, [5, 5, 5])
+
+
+def _points_test(points, expected, keep=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    mask = rng.random(len(points)) < keep
+    sources = points[mask]
+    transformed = apply(sources, expected)
+
+    icp = IterativeClosestPoint(points)
+    aligned, inv_transform = icp.register_points(transformed)
+    recovered = np.linalg.inv(inv_transform)
+
+    np.testing.assert_allclose(recovered[3, :3], expected[3, :3], atol=1e-4)
+    for i in range(3):
+        assert abs(recovered[i, i] - expected[i, i]) < 1e-6
+    # Round trips: aligned points land back on the sources.
+    np.testing.assert_allclose(aligned, sources, atol=1e-4)
+    np.testing.assert_allclose(
+        apply(transformed, inv_transform), sources, atol=1e-4
+    )
+
+
+class TestIcp:
+    def test_three_points_offset_x(self):
+        _points_test(THREE_POINTS, translation(0.1, 0, 0))
+
+    def test_three_points_offset_xyz(self):
+        _points_test(THREE_POINTS, translation(0.1, -0.2, -0.3))
+
+    def test_three_points_rotate_y(self):
+        _points_test(THREE_POINTS, rot_y(np.deg2rad(1.0)))
+
+    def test_three_points_rotate_x_offset_y(self):
+        _points_test(THREE_POINTS, rot_x(np.deg2rad(1.0)) @ translation(0, 0.1, 0))
+
+    def test_three_points_composed(self):
+        m = translation(0, 0, 0.1) @ rot_x(np.deg2rad(1.0)) @ translation(0, 0.1, 0)
+        _points_test(THREE_POINTS, m)
+
+    def test_random_points_half_kept(self):
+        rng = np.random.default_rng(0)
+        pts = (rng.random((100, 3)) - 0.5).astype(np.float32)
+        m = translation(0, 0, 0.1) @ rot_x(np.deg2rad(1.0)) @ translation(0, 0.1, 0)
+        _points_test(pts, m, keep=0.5)
+
+    def test_global_register(self):
+        rng = np.random.default_rng(3)
+        base = (rng.random((200, 3)) - 0.5).astype(np.float32)
+        m1 = translation(0.05, 0, 0)
+        m2 = translation(0, 0.05, 0)
+        scans = [base, apply(base, m1), apply(base, m2)]
+        aligned, tfs = global_register_points(scans)
+        assert len(aligned) == 3
+        np.testing.assert_array_equal(tfs[0], np.eye(4))
+        np.testing.assert_allclose(aligned[1], base, atol=1e-3)
+        np.testing.assert_allclose(aligned[2], base, atol=1e-3)
+
+    def test_global_register_empty_and_single(self):
+        assert global_register_points([]) == ([], [])
+        a, t = global_register_points([THREE_POINTS])
+        assert len(a) == 1 and len(t) == 1
