@@ -41,38 +41,67 @@ def sphere_repeat_scene() -> sk.SdfExpr:
     return spheres | boxes
 
 
-def _timed(fn, *args) -> float:
-    """Median wall-clock seconds for fn. The jitted fn must return a scalar
-    which is fetched to host — under the axon tunnel, block_until_ready
-    returns before device compute finishes, so a host fetch of a reduced
-    scalar is the only honest sync (keeps the 25MB image off the slow
-    tunnel)."""
+CHAIN = 10  # frames chained per measurement to amortize tunnel latency
+
+
+def _rtt_floor() -> float:
+    """Measure the dispatch+fetch round-trip floor (under the axon tunnel
+    this is ~33ms and would otherwise swamp per-frame timings; on local
+    devices it is microseconds). block_until_ready cannot be trusted over
+    the tunnel, so all timing is scalar-fetch based."""
+    f = jax.jit(lambda x: jnp.sum(x))
+    x = jnp.ones((8, 128), jnp.float32)
+    float(f(x))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(x))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _timed_chain(fn, *args) -> float:
+    """Min wall-clock seconds for the jitted scalar-returning fn, which must
+    internally chain CHAIN dependent repetitions of the workload."""
     float(fn(*args))  # warmup / compile, excluded as in Perf/Program.cs:48-52
     times = []
     for _ in range(LOOPS):
         t0 = time.perf_counter()
         float(fn(*args))
         times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+    return min(times)
 
 
-def bench_render() -> dict:
+def bench_render(rtt: float) -> dict:
     from sdfkit_tpu.render.raymarch import RenderConfig, render_rays
+    from sdfkit_tpu.render.pallas.raymarch_kernel import render_rays_fused
     from sdfkit_tpu.utils.camera import camera_rays
 
     scene = sphere_repeat_scene()
     view = sk.look_at((-2.0, 2.0, 4.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
     cfg = RenderConfig(width=WIDTH, height=HEIGHT)
 
-    @jax.jit
-    def render_sum(scene, view):
-        ro, rd = camera_rays(
-            cfg.width, cfg.height, view, cfg.vfov_degrees, cfg.near, cfg.far
-        )
-        return jnp.sum(render_rays(scene, ro, rd, cfg))
+    def chained(render_fn):
+        @jax.jit
+        def f(scene, view):
+            def body(_, acc):
+                v = view + acc * 1e-30  # data-dependency: serialize frames
+                ro, rd = camera_rays(
+                    cfg.width, cfg.height, v, cfg.vfov_degrees, cfg.near, cfg.far
+                )
+                return acc + jnp.sum(render_fn(scene, ro, rd, cfg))
 
-    seconds = _timed(render_sum, scene, view)
+            return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+
+        return f
+
+    per_frame = {}
+    for name, fn in (("jnp", render_rays), ("fused", render_rays_fused)):
+        total = _timed_chain(chained(fn), scene, view)
+        per_frame[name] = max((total - rtt) / CHAIN, 1e-9)
+
+    best = min(per_frame, key=per_frame.get)
+    seconds = per_frame[best]
     mrays = WIDTH * HEIGHT / seconds / 1e6
     return {
         "metric": "sphere_repeat_render_1920x1080",
@@ -80,21 +109,32 @@ def bench_render() -> dict:
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS_PER_SEC, 4),
         "extra": {
-            "render_ms": round(seconds * 1e3, 2),
+            "render_ms": round(seconds * 1e3, 3),
+            "backend": best,
+            "render_ms_jnp": round(per_frame["jnp"] * 1e3, 3),
+            "render_ms_fused": round(per_frame["fused"] * 1e3, 3),
+            "rtt_floor_ms": round(rtt * 1e3, 1),
             "device": str(jax.devices()[0]),
         },
     }
 
 
-def bench_voxels(n: int = 256) -> dict:
+def bench_voxels(rtt: float, n: int = 256, chain: int = 64) -> dict:
+    # Longer chain than the render bench: a 256^3 sweep is ~2ms on-device,
+    # so it needs ~64 chained repetitions to rise above the tunnel RTT floor.
     scene = sphere_repeat_scene()
 
     @jax.jit
-    def voxel_sum(scene):
-        v = sk.voxelize(scene, (-2, -2, -2), (2, 2, 2), n, n, n)
-        return jnp.sum(v.values)
+    def chained(scene):
+        def body(_, acc):
+            lo = jnp.float32(-2.0) + acc * 1e-30  # serialize repetitions
+            v = sk.voxelize(scene, (lo, lo, lo), (2, 2, 2), n, n, n)
+            return acc + jnp.sum(v.values)
 
-    seconds = _timed(voxel_sum, scene)
+        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+
+    total = _timed_chain(chained, scene)
+    seconds = max((total - rtt) / chain, 1e-9)
     return {
         "metric": f"voxel_samples_{n}^3",
         "value": round(n**3 / seconds / 1e6, 3),
@@ -104,8 +144,9 @@ def bench_voxels(n: int = 256) -> dict:
 
 
 def main():
-    result = bench_render()
-    vox = bench_voxels()
+    rtt = _rtt_floor()
+    result = bench_render(rtt)
+    vox = bench_voxels(rtt)
     result["extra"]["voxel_Msamples_per_s"] = vox["value"]
     print(json.dumps(result))
 

@@ -113,13 +113,19 @@ def render_rays(sdf: SdfExpr, ro: V3, rd: V3, cfg: RenderConfig) -> Array:
     """Returns an (..., 3) RGB image for the given rays."""
     depth, diffuse = _march(sdf, ro, rd, cfg, want_color=True)
 
-    surface = ro + rd * depth
-    normal = _distance_gradient(sdf, surface).normalize()
-    light = (V3.splat(jnp.asarray(LIGHT_POSITION, jnp.float32)) - surface).normalize()
+    bg = depth > cfg.far
+    # Shade miss pixels at a benign depth: their real accumulated depth is
+    # ~2^iterations sensitive to parameters, so reverse-mode through the
+    # (masked-out) shading branch would overflow to inf and leak NaN via the
+    # 0-cotangent-times-inf rule. Sanitizing the branch INPUT (not just the
+    # output select) keeps the backward finite; hit pixels are untouched.
+    shade_depth = jnp.where(bg, jnp.float32(cfg.near), depth)
+    surface = ro + rd * shade_depth
+    normal = _distance_gradient(sdf, surface).safe_normalize()
+    light = (V3.splat(jnp.asarray(LIGHT_POSITION, jnp.float32)) - surface).safe_normalize()
     lambert = jnp.maximum(normal.dot(light), 0.0)
     lighting = diffuse * lambert + AMBIENT
 
-    bg = depth > cfg.far
     sky = V3.splat(jnp.asarray(SKY_COLOR, jnp.float32))
     color = lighting.where(~bg, sky)
     return color.to_array()
@@ -141,6 +147,26 @@ def _render_depth_impl(sdf, view, cfg):
     return render_depth_rays(sdf, ro, rd, cfg)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _render_fused(sdf, view, cfg):
+    from sdfkit_tpu.render.pallas.raymarch_kernel import render_rays_fused
+
+    ro, rd = camera_rays(
+        cfg.width, cfg.height, view, cfg.vfov_degrees, cfg.near, cfg.far
+    )
+    return render_rays_fused(sdf, ro, rd, cfg)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _render_depth_fused(sdf, view, cfg):
+    from sdfkit_tpu.render.pallas.raymarch_kernel import render_depth_rays_fused
+
+    ro, rd = camera_rays(
+        cfg.width, cfg.height, view, cfg.vfov_degrees, cfg.near, cfg.far
+    )
+    return render_depth_rays_fused(sdf, ro, rd, cfg)
+
+
 class RayMarcher:
     """Object-style API mirroring the reference RayMarcher (RayMarcher.cs:7-40).
 
@@ -159,7 +185,19 @@ class RayMarcher:
         near: float = DEFAULT_NEAR,
         far: float = DEFAULT_FAR,
         depth_iterations: int = DEFAULT_DEPTH_ITERATIONS,
+        backend: str = "auto",
     ):
+        """backend: 'fused' = Pallas kernel, 'jnp' = pure-jnp path, 'auto' =
+        currently the jnp path everywhere — measured on v5e the XLA-fused
+        fori_loop march (2.37 ms @1080p) edges out the Pallas kernel
+        (2.80 ms, pack/unpack overhead); both are ~8x the 100 Mrays/s
+        target. The kernel remains available for workloads where keeping
+        the march VMEM-resident wins (see bench.py extra fields)."""
+        if backend == "auto":
+            backend = "jnp"
+        if backend not in ("fused", "jnp"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         self.sdf = sdf
         self.view = default_view() if view is None else jnp.asarray(view, jnp.float32)
         self.config = RenderConfig(
@@ -177,9 +215,13 @@ class RayMarcher:
         return jnp.asarray(camera, jnp.float32)
 
     def render(self, camera=None) -> Array:
+        if self.backend == "fused":
+            return _render_fused(self.sdf, self._view(camera), self.config)
         return _render_impl(self.sdf, self._view(camera), self.config)
 
     def render_depth(self, camera=None) -> Array:
+        if self.backend == "fused":
+            return _render_depth_fused(self.sdf, self._view(camera), self.config)
         return _render_depth_impl(self.sdf, self._view(camera), self.config)
 
 

@@ -118,6 +118,16 @@ class V3:
         """Matches reference Vector3.Normalize: straight divide (no epsilon)."""
         return self / self.length()
 
+    def safe_normalize(self, eps: float = 1e-30) -> "V3":
+        """Normalize with a floor *inside* the sqrt: identical to normalize()
+        for any vector with |v|^2 > eps, but maps the zero vector to zero with
+        a NaN-free backward. The floor must sit under the sqrt — sqrt'(0) is
+        inf, and even a downstream maximum() leaks NaN through 0*inf in
+        reverse mode (rays that miss have an exactly-zero finite-difference
+        normal)."""
+        inv = jax.lax.rsqrt(jnp.maximum(self.length_sq(), eps))
+        return self * inv
+
     def abs(self) -> "V3":
         return V3(jnp.abs(self.x), jnp.abs(self.y), jnp.abs(self.z))
 
