@@ -9,6 +9,8 @@ vs_baseline is measured against the BASELINE.json north-star target of
 100 Mrays/s/chip (the reference publishes no numbers of its own).
 """
 
+import argparse
+import contextlib
 import json
 import sys
 import time
@@ -144,10 +146,24 @@ def bench_voxels(rtt: float, n: int = 256, chain: int = 64) -> dict:
 
 
 def main():
+    # --profile DIR wraps the timed loops in a jax.profiler trace viewable in
+    # TensorBoard/XProf (the analogue of the reference's `make mactrace`
+    # dotnet-trace -> speedscope pipeline, Makefile:24-30).
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace to DIR")
+    opts = ap.parse_args()
+
     rtt = _rtt_floor()
-    result = bench_render(rtt)
-    vox = bench_voxels(rtt)
+    trace = (
+        jax.profiler.trace(opts.profile) if opts.profile else contextlib.nullcontext()
+    )
+    with trace:
+        result = bench_render(rtt)
+        vox = bench_voxels(rtt)
     result["extra"]["voxel_Msamples_per_s"] = vox["value"]
+    if opts.profile:
+        result["extra"]["profile_dir"] = opts.profile
     print(json.dumps(result))
 
 

@@ -30,7 +30,9 @@ from sdfkit_tpu.sdf.expr import (
     torus,
     union,
 )
+from sdfkit_tpu.fit import fit
 from sdfkit_tpu.ops.grid import voxelize
+from sdfkit_tpu.sdf.sample import sample
 from sdfkit_tpu.mesh.mesh import Mesh
 from sdfkit_tpu.mesh.voxels import Voxels
 from sdfkit_tpu.render.raymarch import RayMarcher, render, render_depth
@@ -54,6 +56,7 @@ __all__ = [
     "box",
     "capsule",
     "cylinder",
+    "fit",
     "look_at",
     "perspective_fov",
     "plane",
@@ -61,6 +64,7 @@ __all__ = [
     "plane_xz",
     "render",
     "render_depth",
+    "sample",
     "sdf",
     "solid",
     "sphere",

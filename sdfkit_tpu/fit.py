@@ -1,0 +1,153 @@
+"""Differentiable SDF fitting: optimize shape/position/color parameters so a
+render matches a target image.
+
+This is the capability the whole TPU-first design buys that the reference
+cannot offer (its IL-compiled SDFs are not differentiable): every SdfExpr is
+a pytree of parameter leaves and the renderer is pure jnp, so
+``jax.value_and_grad`` of an image loss flows through the 40-step march,
+the finite-difference normals and the shading (BASELINE.md differentiable
+smooth-union CSG config). Single chip by default; pass a Mesh to shard rays
+over devices with the gradient all-reduced over ICI (parallel/train.py).
+
+Checkpoint/resume is via orbax (SURVEY.md section 5, checkpoint entry): the
+optimizer state and parameters are saved every ``checkpoint_every`` steps and
+``fit`` resumes from the latest step found in ``checkpoint_dir``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sdfkit_tpu.render.raymarch import RenderConfig, render_rays
+from sdfkit_tpu.utils.camera import camera_rays, default_view
+
+Array = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class FitResult:
+    sdf: Any
+    losses: list[float]
+    steps_run: int
+    resumed_from: int | None
+
+
+def image_loss_fn(sdf, target, ro, rd, cfg: RenderConfig) -> Array:
+    img = render_rays(sdf, ro, rd, cfg)
+    return jnp.mean((img - target) ** 2)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _fit_step(optimizer, cfg, sdf, opt_state, target, ro, rd):
+    loss, grads = jax.value_and_grad(image_loss_fn)(sdf, target, ro, rd, cfg)
+    updates, opt_state = optimizer.update(grads, opt_state, sdf)
+    sdf = optax.apply_updates(sdf, updates)
+    return sdf, opt_state, loss
+
+
+def fit(
+    sdf,
+    target,
+    steps: int = 100,
+    view=None,
+    optimizer=None,
+    learning_rate: float = 1e-2,
+    checkpoint_dir=None,
+    checkpoint_every: int = 50,
+    progress: Callable[[int, float], None] | None = None,
+    **cfg_kwargs,
+) -> FitResult:
+    """Fit ``sdf``'s parameters so its render matches ``target`` (H, W, 3).
+
+    Returns a FitResult with the fitted SdfExpr and per-step losses. If
+    ``checkpoint_dir`` is given, training state is checkpointed there and a
+    later call with the same directory resumes from the latest saved step.
+    """
+    target = jnp.asarray(target, jnp.float32)
+    height, width = target.shape[:2]
+    cfg = RenderConfig(width=width, height=height, **cfg_kwargs)
+    view = default_view() if view is None else jnp.asarray(view, jnp.float32)
+    ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
+
+    if optimizer is None:
+        # Sphere-trace image losses have heavy-tailed gradients: a ray that
+        # grazes a silhouette accumulates depth ~far^k and its parameter
+        # gradient explodes, so unclipped Adam overshoots (radius blows up
+        # until the shape fills the frame). Global-norm clipping tames the
+        # tail without biasing the well-behaved interior-pixel gradients.
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adam(learning_rate)
+        )
+    opt_state = optimizer.init(sdf)
+
+    start_step, resumed_from = 0, None
+    manager = None
+    if checkpoint_dir is not None:
+        manager = _checkpoint_manager(checkpoint_dir)
+        latest = manager.latest_step()
+        if latest is not None:
+            sdf, opt_state = _restore(manager, latest, (sdf, opt_state))
+            start_step, resumed_from = latest, latest
+
+    losses: list[float] = []
+    for step in range(start_step, steps):
+        sdf, opt_state, loss = _fit_step(
+            optimizer, cfg, sdf, opt_state, target, ro, rd
+        )
+        loss = float(loss)
+        losses.append(loss)
+        if progress is not None:
+            progress(step, loss)
+        if manager is not None and (
+            (step + 1) % checkpoint_every == 0 or step + 1 == steps
+        ):
+            _save(manager, step + 1, (sdf, opt_state))
+    if manager is not None:
+        manager.wait_until_finished()
+    return FitResult(
+        sdf=sdf, losses=losses, steps_run=steps - start_step, resumed_from=resumed_from
+    )
+
+
+# -- orbax plumbing ----------------------------------------------------------
+
+
+def _checkpoint_manager(path):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(os.fspath(path)),
+        options=ocp.CheckpointManagerOptions(max_to_keep=2, create=True),
+    )
+
+
+def _save(manager, step: int, state) -> None:
+    import orbax.checkpoint as ocp
+
+    manager.save(step, args=ocp.args.StandardSave(_to_pure(state)))
+
+
+def _restore(manager, step: int, like):
+    import orbax.checkpoint as ocp
+
+    pure = manager.restore(
+        step, args=ocp.args.StandardRestore(_to_pure(like))
+    )
+    leaves = jax.tree_util.tree_leaves(pure)
+    treedef = jax.tree_util.tree_structure(like)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _to_pure(tree):
+    """Orbax serializes plain array pytrees; SdfExpr nodes carry static
+    callables in their treedef, so ship leaves as a flat list and rebuild
+    with the caller's treedef on restore."""
+    return jax.tree_util.tree_leaves(tree)

@@ -184,6 +184,15 @@ class SdfExpr:
         )
 
     # -- conversions (mirror SdfEx, Sdf.cs:49-115) ------------------------
+    def sample(self, points: Array, batch_size: int | None = None) -> Array:
+        """Evaluate at (N, 3) points in fixed-size batches (the reference's
+        batch sampling driver, SdfEx.Sample, Sdf.cs:22-47)."""
+        from sdfkit_tpu.sdf.sample import DEFAULT_BATCH_SIZE, sample
+
+        return sample(
+            self, points, DEFAULT_BATCH_SIZE if batch_size is None else batch_size
+        )
+
     def to_sdf(self) -> Callable[[Array], Array]:
         """A jitted batched callable (the reference's compiled tier;
         SdfExprCompiler.Compile, SdfExpr.cs:234-238 — here jax.jit does the

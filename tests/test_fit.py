@@ -1,0 +1,71 @@
+"""Differentiable fitting tests: loss descends, parameters converge toward a
+known target, and orbax checkpoint/resume reproduces the uninterrupted run.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import sdfkit_tpu as sk
+from sdfkit_tpu.fit import fit
+
+W, H = 24, 16
+
+
+def target_image():
+    return np.asarray(sk.render(sk.sphere(1.0, color=(0.8, 0.3, 0.2)), W, H))
+
+
+def start_sdf():
+    return sk.sphere(0.7, color=(0.4, 0.4, 0.4))
+
+
+class TestFit:
+    def test_loss_descends_and_radius_converges(self):
+        res = fit(start_sdf(), target_image(), steps=150, learning_rate=0.02)
+        assert res.losses[-1] < 0.01 * res.losses[0]
+        assert abs(float(res.sdf.radius) - 1.0) < 0.05
+        np.testing.assert_allclose(
+            np.asarray(res.sdf.rgb), [0.8, 0.3, 0.2], atol=0.05
+        )
+
+    def test_progress_callback(self):
+        seen = []
+        fit(start_sdf(), target_image(), steps=3, progress=lambda s, l: seen.append(s))
+        assert seen == [0, 1, 2]
+
+    def test_checkpoint_resume_matches_uninterrupted(self, tmp_path):
+        tgt = target_image()
+        full = fit(start_sdf(), tgt, steps=20, learning_rate=0.03)
+
+        ckpt = tmp_path / "ckpt"
+        fit(
+            start_sdf(), tgt, steps=10, learning_rate=0.03,
+            checkpoint_dir=ckpt, checkpoint_every=5,
+        )
+        resumed = fit(
+            start_sdf(), tgt, steps=20, learning_rate=0.03,
+            checkpoint_dir=ckpt, checkpoint_every=5,
+        )
+        assert resumed.resumed_from == 10
+        assert resumed.steps_run == 10
+        np.testing.assert_allclose(
+            float(resumed.sdf.radius), float(full.sdf.radius), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.sdf.rgb), np.asarray(full.sdf.rgb), atol=1e-5
+        )
+
+    def test_fit_csg_tree_params(self):
+        # Gradients flow through a CSG tree: fit the translation of one lobe.
+        tgt = np.asarray(
+            sk.render(
+                sk.sphere(0.6).translate(0.5, 0, 0) | sk.sphere(0.6).translate(-0.5, 0, 0),
+                W, H,
+            )
+        )
+        s0 = sk.sphere(0.6).translate(0.3, 0, 0) | sk.sphere(0.6).translate(-0.5, 0, 0)
+        res = fit(s0, tgt, steps=150, learning_rate=0.01)
+        assert res.losses[-1] < 0.6 * res.losses[0]
+        # The x offset is the observable direction; y/z are weakly constrained
+        # by this view and may drift a little.
+        assert abs(float(res.sdf.a.offset[0]) - 0.5) < 0.1

@@ -1,0 +1,46 @@
+"""Image-writer tests (reference parity: Tests/VectorTests.cs — TGA writers
+produce valid images; here verified by byte-level round-trip instead of
+eyeballing artifacts).
+"""
+
+import numpy as np
+
+import sdfkit_tpu as sk
+from sdfkit_tpu.io.tga import read_tga, write_depth_tga, write_tga
+
+
+class TestTga:
+    def test_rgb_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, size=(12, 17, 3)).astype(np.float32)
+        p = tmp_path / "img.tga"
+        write_tga(p, img)
+        back = read_tga(p)
+        assert back.shape == (12, 17, 3)
+        np.testing.assert_allclose(back, img, atol=1.0 / 255.0)
+
+    def test_rgb_clips_out_of_range(self, tmp_path):
+        img = np.array([[[-0.5, 0.5, 1.5]]], np.float32)
+        p = tmp_path / "clip.tga"
+        write_tga(p, img)
+        np.testing.assert_allclose(read_tga(p)[0, 0], [0.0, 0.5, 1.0], atol=1 / 255)
+
+    def test_depth_near_white_far_black(self, tmp_path):
+        # Reference maps near depths bright, far depths dark
+        # (FloatData.SaveDepthTga, VectorData.cs:244-276).
+        depth = np.array([[1.0, 50.0, 100.0, 1e6]], np.float32)
+        p = tmp_path / "depth.tga"
+        write_depth_tga(p, depth, near=1.0, far=100.0)
+        gray = read_tga(p)[0, :, 0]
+        assert gray[0] == 1.0  # near plane -> white
+        assert gray[0] > gray[1] > gray[2]  # monotone toward far
+        assert gray[3] == 0.0  # misses past far -> black
+
+    def test_rendered_image_writes(self, tmp_path):
+        img = np.asarray(sk.render(sk.sphere(1.0), 16, 8))
+        p = tmp_path / "render.tga"
+        write_tga(p, img)
+        back = read_tga(p)
+        assert back.shape == (8, 16, 3)
+        # Sky pixels survive the round trip (corner ray misses the sphere).
+        np.testing.assert_allclose(back[0, 0], [0.5, 0.75, 1.0], atol=1 / 255)
