@@ -128,6 +128,24 @@ class SdfExpr:
     def scale(self, s) -> "SdfExpr":
         return Scale(self, _f32(s))
 
+    def rotate_x(self, angle) -> "SdfExpr":
+        return Rotate(self, axis="x", angle=_f32(angle))
+
+    def rotate_y(self, angle) -> "SdfExpr":
+        return Rotate(self, axis="y", angle=_f32(angle))
+
+    def rotate_z(self, angle) -> "SdfExpr":
+        return Rotate(self, axis="z", angle=_f32(angle))
+
+    def round(self, radius) -> "SdfExpr":
+        """Rounded offset surface: d - r (grows the shape by r with rounded
+        edges). The radius is a differentiable parameter."""
+        return Round(self, _f32(radius))
+
+    def shell(self, thickness) -> "SdfExpr":
+        """Hollow shell of the surface: |d| - t/2."""
+        return Shell(self, _f32(thickness))
+
     def modify_input(self, fn: Callable[[V3], V3]) -> "SdfExpr":
         """Position warp (reference: SdfExprEx.ModifyInput, SdfExpr.cs:79-89)."""
         return ModifyInput(self, fn)
@@ -457,6 +475,51 @@ class Scale(SdfExpr):
     def eval(self, p: V3):
         c, d = self.child.eval(p / self.factor)
         return c, d * self.factor
+
+
+@sdf_node(["child", "angle"], ["axis"])
+class Rotate(SdfExpr):
+    """Rotate the shape about a coordinate axis by ``angle`` radians (the
+    domain is rotated by -angle). Distances are preserved (rigid motion), and
+    the angle is a differentiable parameter — pose fitting works through it.
+    The reference reaches rotations via ModifyInput position warps
+    (SdfExpr.cs:79-89); a rigid rotation is the common case so it gets a node.
+    """
+
+    child: SdfExpr
+    angle: Array
+    axis: str
+
+    def eval(self, p: V3):
+        c = jnp.cos(self.angle)
+        s = jnp.sin(self.angle)
+        if self.axis == "x":
+            q = V3(p.x, c * p.y + s * p.z, -s * p.y + c * p.z)
+        elif self.axis == "y":
+            q = V3(c * p.x - s * p.z, p.y, s * p.x + c * p.z)
+        else:
+            q = V3(c * p.x + s * p.y, -s * p.x + c * p.y, p.z)
+        return self.child.eval(q)
+
+
+@sdf_node(["child", "radius"])
+class Round(SdfExpr):
+    child: SdfExpr
+    radius: Array
+
+    def eval(self, p: V3):
+        c, d = self.child.eval(p)
+        return c, d - self.radius
+
+
+@sdf_node(["child", "thickness"])
+class Shell(SdfExpr):
+    child: SdfExpr
+    thickness: Array
+
+    def eval(self, p: V3):
+        c, d = self.child.eval(p)
+        return c, jnp.abs(d) - self.thickness * 0.5
 
 
 @sdf_node(["child"], ["fn"])

@@ -170,6 +170,33 @@ class TestModifiers:
         out = eval_at(b, [[2, 0, 2], [0, 0, 0]])
         np.testing.assert_allclose(out[0, 3], out[1, 3], atol=1e-6)
 
+    def test_rotate_preserves_distance(self):
+        import jax
+
+        s = sk.box((1.0, 0.2, 0.2)).rotate_z(jnp.pi / 2)
+        # Long axis now points along y: (0, 0.9, 0) is inside, (0.9, 0, 0) out.
+        p = jnp.array([[0.0, 0.9, 0.0], [0.9, 0.0, 0.0]], jnp.float32)
+        d = np.asarray(s(p))[:, 3]
+        assert d[0] < 0 < d[1]
+        # Differentiable pose: gradient of distance wrt angle is finite.
+        g = jax.grad(
+            lambda a: jnp.sum(
+                sk.box((1.0, 0.2, 0.2)).rotate_y(a)(p)[:, 3]
+            )
+        )(jnp.float32(0.3))
+        assert np.isfinite(float(g))
+
+    def test_round_and_shell(self):
+        def dist1(expr, p):
+            return float(eval_at(expr, [list(p)])[0, 3])
+
+        s = sk.sphere(1.0).round(0.25)  # sphere of effective radius 1.25
+        assert abs(dist1(s, (1.25, 0, 0))) < 1e-6
+        sh = sk.sphere(1.0).shell(0.2)  # hollow: surfaces at r=0.9 and 1.1
+        assert abs(dist1(sh, (1.1, 0, 0))) < 1e-6
+        assert abs(dist1(sh, (0.9, 0, 0))) < 1e-6
+        assert dist1(sh, (1.0, 0, 0)) < 0
+
     def test_modify_input(self):
         # Shear warp: evaluate sphere at p - (y, 0, 0).
         s = sk.sphere(1.0).modify_input(lambda p: V3(p.x - p.y, p.y, p.z))
