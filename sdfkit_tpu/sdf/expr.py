@@ -270,7 +270,9 @@ class Box(SdfExpr):
     def eval(self, p: V3):
         b = V3.splat(self.bounds)
         wd = p.abs() - b
-        outside = wd.max(0.0).length()
+        # zero_safe_length: |max(wd,0)| is exactly 0 everywhere inside the
+        # box; plain sqrt there has an inf derivative that NaNs reverse mode.
+        outside = wd.max(0.0).zero_safe_length()
         inside = wd.min(0.0).vmax()
         return V3.splat(self.rgb), outside + inside
 

@@ -114,6 +114,18 @@ class V3:
     def length(self) -> Array:
         return jnp.sqrt(self.length_sq())
 
+    def zero_safe_length(self) -> Array:
+        """length() with a finite backward at the exact zero vector.
+
+        Needed where the zero vector occurs on an open region — e.g. the box
+        SDF's exterior term ``|max(wd, 0)|`` is identically zero inside the
+        box, so the correct (sub)gradient there is 0, but sqrt'(0) is inf and
+        reverse mode turns it into NaN for every ray that steps inside. The
+        double-where keeps the forward value bit-identical."""
+        ssq = self.length_sq()
+        zero = ssq == 0
+        return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, ssq)))
+
     def normalize(self) -> "V3":
         """Matches reference Vector3.Normalize: straight divide (no epsilon)."""
         return self / self.length()

@@ -107,6 +107,25 @@ class TestRender:
 
 
 class TestDifferentiability:
+    def test_smooth_union_grads_match_finite_difference(self):
+        # BASELINE.md config 4: grads of an image loss wrt the smooth-union
+        # blend k and a shape radius, checked against central differences.
+        def loss(k, r):
+            s = sk.sphere(r, color=(0.9, 0.3, 0.2)).smooth_union(
+                sk.box(0.6, color=(0.2, 0.5, 0.9)).translate(0.9, 0, 0), k
+            )
+            return jnp.mean(sk.RayMarcher(24, 16, s).render() ** 2)
+
+        k0, r0 = jnp.float32(0.3), jnp.float32(0.8)
+        gk, gr = jax.grad(loss, argnums=(0, 1))(k0, r0)
+        e = 1e-2
+        fdk = (loss(k0 + e, r0) - loss(k0 - e, r0)) / (2 * e)
+        fdr = (loss(k0, r0 + e) - loss(k0, r0 - e)) / (2 * e)
+        # Silhouette pixels make image losses only piecewise-smooth; interior
+        # contributions dominate at this scene scale.
+        np.testing.assert_allclose(float(gk), float(fdk), rtol=0.15, atol=5e-4)
+        np.testing.assert_allclose(float(gr), float(fdr), rtol=0.15, atol=5e-4)
+
     def test_grad_of_depth_wrt_radius(self):
         # d(depth)/d(radius) at the center pixel is ~-1 (sphere surface moves
         # toward the camera as the radius grows).
