@@ -29,6 +29,32 @@ from sdfkit_tpu.mesh.mesh import Mesh
 FLT_EPSILON = 1e-7  # MarchingCubes.cs:37, Cell.cs:63
 
 
+def _classify_cells(vals32, iso, step: int, lx: int, ly: int, lz: int):
+    """Dense phase: the MC case index of every cell as a uint8 (lx, ly, lz)
+    array (the reference classifies per cell inside its triple loop,
+    MarchingCubes.cs:53-80).
+
+    Eight strided *views* of the value grid replace per-cell corner gathers —
+    one streaming pass, no index arrays. The grid is already host-resident
+    (the sparse phase below needs it), so this runs in numpy; the O(n^3)
+    device work is the SDF evaluation in ops/grid.py. The predicate
+    ``value > iso`` in f32 is exact (both operands are representable),
+    matching the reference's ``v - iso > 0`` computed in double (f32→f64 is
+    lossless and the f64 subtraction of two f32 values is exact)."""
+    bits = np.zeros((lx, ly, lz), np.uint8)
+    for k in range(8):
+        dx = int(luts.CORNER_DX[k]) * step
+        dy = int(luts.CORNER_DY[k]) * step
+        dz = int(luts.CORNER_DZ[k]) * step
+        slab = vals32[
+            dx : dx + (lx - 1) * step + 1 : step,
+            dy : dy + (ly - 1) * step + 1 : step,
+            dz : dz + (lz - 1) * step + 1 : step,
+        ]  # (lx, ly, lz) view: value at corner k of every cell
+        bits += np.uint8(1 << k) * (slab > iso)
+    return bits
+
+
 def _test_face(face, v8):
     """Vectorized MarchingCubes.TestFace (MarchingCubes.cs:376-407).
 
@@ -279,10 +305,23 @@ def _corner_gradients(v8):
 def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     """Extract the iso-surface mesh (MarchingCubes.CreateMesh,
     MarchingCubes.cs:39-92)."""
-    values = np.asarray(voxels.values, np.float64) - float(iso_value)
-    colors = np.asarray(voxels.colors, np.float64)
-    nx, ny, nz = values.shape
+    # iso quantized to f32 so the device classification predicate
+    # (f32 compare) and the host sparse phase (f64 subtraction of two exact
+    # f32 values) see identical signs.
+    iso = float(np.float32(iso_value))
+    vals32 = np.asarray(voxels.values, np.float32)
+    colors32 = np.asarray(voxels.colors, np.float32)
+    nx, ny, nz = vals32.shape
     step = int(step)
+
+    def values_at(ix, iy, iz):
+        """Sparse iso-subtracted grid lookup in float64 (the only precision
+        the ambiguity tests and interpolation ever see, as in the reference's
+        double-typed Cell, Cell.cs:191-233)."""
+        return vals32[ix, iy, iz].astype(np.float64) - iso
+
+    def colors_at(ix, iy, iz):
+        return colors32[ix, iy, iz].astype(np.float64)
 
     xs = np.arange(0, nx - step, step)
     ys = np.arange(0, ny - step, step)
@@ -300,25 +339,15 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
             progress(1.0)
         return mesh
 
-    # --- classification: corner gather in reference (z, y, x) cell order ---
-    # v8[k] is the value at MC corner k for every cell, flattened C-order over
-    # (z, y, x) to match the reference's loop nesting (MarchingCubes.cs:53-80).
-    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
-    cx = X.ravel()
-    cy = Y.ravel()
-    cz = Z.ravel()
-
-    def corner(k):
-        return values[
-            cx + step * luts.CORNER_DX[k],
-            cy + step * luts.CORNER_DY[k],
-            cz + step * luts.CORNER_DZ[k],
-        ]
-
-    v8_full = np.stack([corner(k) for k in range(8)])  # (8, ncells)
-    case_index = np.zeros(v8_full.shape[1], np.int64)
-    for k in range(8):
-        case_index += (1 << k) * (v8_full[k] > 0.0)
+    # --- dense phase on device: per-cell case index, (z, y, x) cell order
+    #     matching the reference's loop nesting (MarchingCubes.cs:53-80) ---
+    lx, ly, lz = xs.size, ys.size, zs.size
+    case_index = (
+        _classify_cells(vals32, np.float32(iso), step, lx, ly, lz)
+        .transpose(2, 1, 0)  # reference (z, y, x) cell order
+        .reshape(-1)
+        .astype(np.int64)
+    )
     casenum = luts.cases[case_index, 0].astype(np.int64)
     config = luts.cases[case_index, 1].astype(np.int64)
 
@@ -331,8 +360,22 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
             progress(1.0)
         return mesh
 
-    v8 = v8_full[:, active]
-    acx, acy, acz = cx[active], cy[active], cz[active]
+    # Sparse phase on host: everything below is O(surface cells). Cell grid
+    # coordinates from the flat (z, y, x) index; corner values gathered only
+    # for active cells.
+    acx = (active % lx) * step
+    acy = ((active // lx) % ly) * step
+    acz = (active // (lx * ly)) * step
+    v8 = np.stack(
+        [
+            values_at(
+                acx + step * luts.CORNER_DX[k],
+                acy + step * luts.CORNER_DY[k],
+                acz + step * luts.CORNER_DZ[k],
+            )
+            for k in range(8)
+        ]
+    )  # (8, n_active) float64
 
     # --- dispatch: per-cell tilings (TheBigSwitch) ---
     groups = _dispatch(casenum[active], config[active], v8)
@@ -388,17 +431,17 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         d2y = luts.edgesrely[evi, 1].astype(np.float64)
         d2z = luts.edgesrelz[evi, 1].astype(np.float64)
 
-        def grid_at(arr, dx, dy, dz):
-            return arr[
+        def grid_at(at, dx, dy, dz):
+            return at(
                 (ex + step * dx).astype(np.int64),
                 (ey + step * dy).astype(np.int64),
                 (ez + step * dz).astype(np.int64),
-            ]
+            )
 
-        va = grid_at(values, d1x, d1y, d1z)
-        vb = grid_at(values, d2x, d2y, d2z)
-        ca = grid_at(colors, d1x, d1y, d1z)
-        cb = grid_at(colors, d2x, d2y, d2z)
+        va = grid_at(values_at, d1x, d1y, d1z)
+        vb = grid_at(values_at, d2x, d2y, d2z)
+        ca = grid_at(colors_at, d1x, d1y, d1z)
+        cb = grid_at(colors_at, d2x, d2y, d2z)
         t1 = 1.0 / (FLT_EPSILON + np.abs(va))
         t2 = 1.0 / (FLT_EPSILON + np.abs(vb))
         ff = t1 + t2
@@ -422,11 +465,11 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         # corner colors, MC numbering
         ccol = np.stack(
             [
-                colors[
+                colors_at(
                     acx[cc] + step * luts.CORNER_DX[k],
                     acy[cc] + step * luts.CORNER_DY[k],
                     acz[cc] + step * luts.CORNER_DZ[k],
-                ]
+                )
                 for k in range(8)
             ]
         )  # (8, k, 3)
@@ -456,16 +499,16 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         )
         # vv is remapped so vv[packed] = value at that offset: gather from grid.
         ex, ey, ez = acx[ecell], acy[ecell], acz[ecell]
-        va = values[
+        va = values_at(
             ex + step * luts.edgesrelx[evi, 0],
             ey + step * luts.edgesrely[evi, 0],
             ez + step * luts.edgesrelz[evi, 0],
-        ]
-        vb = values[
+        )
+        vb = values_at(
             ex + step * luts.edgesrelx[evi, 1],
             ey + step * luts.edgesrely[evi, 1],
             ez + step * luts.edgesrelz[evi, 1],
-        ]
+        )
         t1 = 1.0 / (FLT_EPSILON + np.abs(va))
         t2 = 1.0 / (FLT_EPSILON + np.abs(vb))
         contrib = (
