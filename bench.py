@@ -43,7 +43,10 @@ def sphere_repeat_scene() -> sk.SdfExpr:
     return spheres | boxes
 
 
-CHAIN = 10  # frames chained per measurement to amortize tunnel latency
+# Frames chained per measurement: the axon tunnel's dispatch+fetch round
+# trip is ~24 ms with multi-ms jitter, so at ~2.2 ms/frame a chain of 30
+# keeps the RTT-jitter contribution per frame under ~0.1 ms.
+CHAIN = 30
 
 
 def _rtt_floor() -> float:
@@ -76,14 +79,14 @@ def _timed_chain(fn, *args) -> float:
 
 def bench_render(rtt: float) -> dict:
     from sdfkit_tpu.render.raymarch import RenderConfig, render_rays
-    from sdfkit_tpu.render.pallas.raymarch_kernel import render_rays_fused
+    from sdfkit_tpu.render.pallas.raymarch_kernel import render_image_fused
     from sdfkit_tpu.utils.camera import camera_rays
 
     scene = sphere_repeat_scene()
     view = sk.look_at((-2.0, 2.0, 4.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
     cfg = RenderConfig(width=WIDTH, height=HEIGHT)
 
-    def chained(render_fn):
+    def chained_jnp():
         @jax.jit
         def f(scene, view):
             def body(_, acc):
@@ -91,15 +94,30 @@ def bench_render(rtt: float) -> dict:
                 ro, rd = camera_rays(
                     cfg.width, cfg.height, v, cfg.vfov_degrees, cfg.near, cfg.far
                 )
-                return acc + jnp.sum(render_fn(scene, ro, rd, cfg))
+                return acc + jnp.sum(render_rays(scene, ro, rd, cfg))
 
             return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 
         return f
 
+    def chained_fused():
+        # The image-level kernel generates rays in-kernel from the view
+        # matrix, so the chain serializes on the view instead of the rays.
+        # pallas_call inside fori_loop recompiles per-iteration shapes are
+        # static, so plain python unroll keeps the chain jittable.
+        @jax.jit
+        def f(scene, view):
+            acc = jnp.float32(0.0)
+            for _ in range(CHAIN):
+                v = view + acc * 1e-30
+                acc = acc + jnp.sum(render_image_fused(scene, v, cfg))
+            return acc
+
+        return f
+
     per_frame = {}
-    for name, fn in (("jnp", render_rays), ("fused", render_rays_fused)):
-        total = _timed_chain(chained(fn), scene, view)
+    for name, fn in (("jnp", chained_jnp()), ("fused", chained_fused())):
+        total = _timed_chain(fn, scene, view)
         per_frame[name] = max((total - rtt) / CHAIN, 1e-9)
 
     best = min(per_frame, key=per_frame.get)

@@ -31,8 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 from sdfkit_tpu.render import raymarch as rm
 from sdfkit_tpu.utils.v3 import V3
 
-# Rows of 128 lanes per grid step. 512x128 f32 = 256 KB per array; 6 ray
-# inputs + 4 outputs + intermediates stay well under the 16 MB VMEM budget.
+# Rows of 128 lanes per grid step. 512x128 f32 = 256 KB per array; outputs
+# plus march intermediates stay inside the 16 MB scoped-VMEM budget (1024
+# rows times marginally faster in isolation but OOMs scoped VMEM on the RGB
+# path once chained; swept on v5e at 1080p: 2.19/2.22/2.24 ms for
+# 1024/256/512).
 BLOCK_ROWS = 512
 
 
@@ -189,6 +192,163 @@ def _render_fused_impl(sdf, ro, rd, cfg, want_color):
         [rgb[0].reshape(shape), rgb[1].reshape(shape), rgb[2].reshape(shape)],
         axis=-1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Image-level fused kernel: camera-ray generation happens INSIDE the kernel.
+#
+# The ray-based kernel above still pays two full-frame HBM round trips that
+# the jnp path does not: packing (H, W) ro/rd into padded (3, rows, 128)
+# tiles and reading them back in the kernel (~75 MB of extra traffic at
+# 1080p). Per-pixel rays are just an affine function of the pixel index —
+# GetCameraRays unprojects (x, y, 0, 1) through inverse(view @ proj)
+# (reference: RayMarcher.cs:95-126) — so the kernel can synthesize them from
+# 16 + 3 SMEM scalars and a broadcasted_iota, leaving the OUTPUT image as the
+# only full-frame HBM traffic of the whole render.
+# ---------------------------------------------------------------------------
+
+
+def _rays_from_index(ivp_ref, cam_ref, width: int, height: int):
+    """Per-lane ray origin/direction from the flat pixel index.
+
+    Identical math to utils/camera.camera_rays: NDC uses /(width-1) and
+    /(height-1) denominators, y flipped so row 0 is the image top.
+    """
+    npix = width * height
+    pid = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 1)
+    idx = (pid * BLOCK_ROWS + row) * 128 + lane
+    # Clamp padding lanes onto the last real pixel so their (discarded)
+    # marches stay finite.
+    idx = jnp.minimum(idx, npix - 1)
+    py = idx // width
+    px = idx - py * width
+    xf = -1.0 + 2.0 * px.astype(jnp.float32) / max(width - 1, 1)
+    yf = 1.0 - 2.0 * py.astype(jnp.float32) / max(height - 1, 1)
+
+    m = [ivp_ref[0, k] for k in range(16)]  # inverse(view @ proj), row-major
+    hx = xf * m[0] + yf * m[4] + m[12]
+    hy = xf * m[1] + yf * m[5] + m[13]
+    hz = xf * m[2] + yf * m[6] + m[14]
+    hw = xf * m[3] + yf * m[7] + m[15]
+    pos = V3(hx / hw, hy / hw, hz / hw)
+    ro = V3(
+        jnp.broadcast_to(cam_ref[0, 0], (BLOCK_ROWS, 128)),
+        jnp.broadcast_to(cam_ref[0, 1], (BLOCK_ROWS, 128)),
+        jnp.broadcast_to(cam_ref[0, 2], (BLOCK_ROWS, 128)),
+    )
+    rd = (pos - ro).normalize()
+    return ro, rd
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _pallas_render_image_flat(params_smem, ivp, cam, meta, cfg, want_color):
+    """ivp: (1, 16) inverse(view@proj); cam: (1, 3) camera position."""
+    treedef, shapes = meta
+    n_leaves = len(params_smem)
+    npix = cfg.width * cfg.height
+    tile = BLOCK_ROWS * 128
+    rows = ((npix + tile - 1) // tile) * BLOCK_ROWS
+    grid = (rows // BLOCK_ROWS,)
+
+    def kernel(*refs):
+        leaf_refs = refs[:n_leaves]
+        ivp_ref, cam_ref = refs[n_leaves], refs[n_leaves + 1]
+        out_refs = refs[n_leaves + 2 :]
+        sdf = _rebuild(treedef, shapes, leaf_refs)
+        ro, rd = _rays_from_index(ivp_ref, cam_ref, cfg.width, cfg.height)
+        depth, color = _march_and_shade(sdf, ro, rd, cfg, want_color)
+        out_refs[0][...] = depth
+        if want_color:
+            out_refs[1][0] = color.x
+            out_refs[1][1] = color.y
+            out_refs[1][2] = color.z
+
+    depth_spec = pl.BlockSpec(
+        (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    rgb_spec = pl.BlockSpec(
+        (3, BLOCK_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)]
+    out_specs = [depth_spec]
+    if want_color:
+        out_shape.append(jax.ShapeDtypeStruct((3, rows, 128), jnp.float32))
+        out_specs.append(rgb_spec)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_leaves + 2),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=jax.default_backend() == "cpu",
+    )(*params_smem, ivp, cam)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _render_image_fused_impl(sdf, view, cfg, want_color):
+    from sdfkit_tpu.utils import camera as cam_mod
+
+    view = jnp.asarray(view, jnp.float32)
+    cam_tf = jnp.linalg.inv(view)
+    cam_pos = cam_tf[3, :3].reshape(1, 3)
+    proj = cam_mod.perspective_fov(
+        jnp.deg2rad(jnp.float32(cfg.vfov_degrees)),
+        cfg.width / cfg.height,
+        cfg.near,
+        cfg.far,
+    )
+    ivp = jnp.linalg.inv(view @ proj).reshape(1, 16)
+    params, treedef, shapes = _flatten_params(sdf)
+    results = _pallas_render_image_flat(
+        params, ivp, cam_pos, (treedef, tuple(shapes)), cfg, want_color
+    )
+    npix = cfg.width * cfg.height
+    depth = results[0].reshape(-1)[:npix].reshape(cfg.height, cfg.width)
+    if not want_color:
+        return depth
+    rgb = results[1].reshape(3, -1)[:, :npix]
+    return jnp.stack(
+        [c.reshape(cfg.height, cfg.width) for c in rgb], axis=-1
+    )
+
+
+def _image_fused_fwd(sdf, view, cfg, want_color):
+    out = _render_image_fused_impl(sdf, view, cfg, want_color)
+    return out, (sdf, view)
+
+
+def _image_fused_bwd(cfg, want_color, residuals, g):
+    """Backward replays the jnp path (same math) under autodiff."""
+    from sdfkit_tpu.utils.camera import camera_rays
+
+    sdf, view = residuals
+
+    def fn(s, v):
+        ro, rd = camera_rays(
+            cfg.width, cfg.height, v, cfg.vfov_degrees, cfg.near, cfg.far
+        )
+        if want_color:
+            return rm.render_rays(s, ro, rd, cfg)
+        return rm.render_depth_rays(s, ro, rd, cfg)
+
+    _, vjp = jax.vjp(fn, sdf, view)
+    return vjp(g)
+
+
+_render_image_fused_impl.defvjp(_image_fused_fwd, _image_fused_bwd)
+
+
+def render_image_fused(sdf, view, cfg):
+    """Fully fused (H, W, 3) render: rays generated in-kernel from `view`."""
+    return _render_image_fused_impl(sdf, view, cfg, True)
+
+
+def render_depth_image_fused(sdf, view, cfg):
+    """Fully fused (H, W) depth render."""
+    return _render_image_fused_impl(sdf, view, cfg, False)
 
 
 def _fused_fwd(sdf, ro, rd, cfg, want_color):

@@ -149,22 +149,18 @@ def _render_depth_impl(sdf, view, cfg):
 
 @partial(jax.jit, static_argnums=(2,))
 def _render_fused(sdf, view, cfg):
-    from sdfkit_tpu.render.pallas.raymarch_kernel import render_rays_fused
+    from sdfkit_tpu.render.pallas.raymarch_kernel import render_image_fused
 
-    ro, rd = camera_rays(
-        cfg.width, cfg.height, view, cfg.vfov_degrees, cfg.near, cfg.far
-    )
-    return render_rays_fused(sdf, ro, rd, cfg)
+    return render_image_fused(sdf, view, cfg)
 
 
 @partial(jax.jit, static_argnums=(2,))
 def _render_depth_fused(sdf, view, cfg):
-    from sdfkit_tpu.render.pallas.raymarch_kernel import render_depth_rays_fused
-
-    ro, rd = camera_rays(
-        cfg.width, cfg.height, view, cfg.vfov_degrees, cfg.near, cfg.far
+    from sdfkit_tpu.render.pallas.raymarch_kernel import (
+        render_depth_image_fused,
     )
-    return render_depth_rays_fused(sdf, ro, rd, cfg)
+
+    return render_depth_image_fused(sdf, view, cfg)
 
 
 class RayMarcher:
@@ -187,12 +183,13 @@ class RayMarcher:
         depth_iterations: int = DEFAULT_DEPTH_ITERATIONS,
         backend: str = "auto",
     ):
-        """backend: 'fused' = Pallas kernel, 'jnp' = pure-jnp path, 'auto' =
-        currently the jnp path everywhere — measured on v5e the XLA-fused
-        fori_loop march (2.37 ms @1080p) edges out the Pallas kernel
-        (2.80 ms, pack/unpack overhead); both are ~8x the 100 Mrays/s
-        target. The kernel remains available for workloads where keeping
-        the march VMEM-resident wins (see bench.py extra fields)."""
+        """backend: 'fused' = Pallas kernel (in-kernel ray generation, zero
+        ray HBM traffic), 'jnp' = pure-jnp path, 'auto' = currently the jnp
+        path everywhere — measured on v5e the XLA-fused fori_loop march
+        (2.54 ms @1080p) edges out the Pallas kernel (2.76 ms); both are
+        ~8x the 100 Mrays/s target. The kernel remains available for
+        workloads where keeping the march VMEM-resident wins (see bench.py
+        extra fields)."""
         if backend == "auto":
             backend = "jnp"
         if backend not in ("fused", "jnp"):

@@ -72,6 +72,22 @@ class TestFusedGradients:
         assert np.isfinite(gj) and np.isfinite(gf)
         assert abs(gj - gf) < 0.05 * max(abs(gj), 1e-3) + 1e-2
 
+    def test_view_grad_matches_jnp(self):
+        # The image-level fused kernel generates rays in-kernel from the
+        # view matrix; its custom VJP must route gradients back to the view
+        # identically to the jnp path.
+        s = scene()
+        view = sk.look_at((0.3, 0.2, 5.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+
+        def loss(v, backend):
+            m = sk.RayMarcher(16, 16, s, backend=backend)
+            return jnp.mean(m.render(camera=v) ** 2)
+
+        gj = np.asarray(jax.grad(loss)(view, "jnp"))
+        gf = np.asarray(jax.grad(loss)(view, "fused"))
+        assert np.all(np.isfinite(gf))
+        np.testing.assert_allclose(gj, gf, rtol=5e-2, atol=1e-3)
+
     def test_color_grad_matches_finite_difference(self):
         # Color parameters act smoothly (no silhouette discontinuity), so
         # autodiff must match finite differences tightly.
