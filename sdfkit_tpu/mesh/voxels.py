@@ -81,3 +81,26 @@ class Voxels:
         from sdfkit_tpu.mesh.marching_cubes import create_mesh
 
         return create_mesh(self, iso_value=iso_value, step=step, progress=progress)
+
+    # -- persistence (the reference has no Voxels save/load; dense grids
+    # are expensive to recompute, so checkpointing them is our analogue of
+    # SURVEY §5's render/voxelize-output persistence plan) ----------------
+    def save(self, path) -> None:
+        """Persist the volume as a compressed .npz archive."""
+        np.savez_compressed(
+            path,
+            values=np.asarray(self.values, np.float32),
+            colors=np.asarray(self.colors, np.float32),
+            vmin=np.asarray(self.vmin, np.float32),
+            vmax=np.asarray(self.vmax, np.float32),
+        )
+
+    @classmethod
+    def load(cls, path) -> "Voxels":
+        with np.load(path) as z:
+            return cls(
+                values=jnp.asarray(z["values"]),
+                colors=jnp.asarray(z["colors"]),
+                vmin=jnp.asarray(z["vmin"]),
+                vmax=jnp.asarray(z["vmax"]),
+            )

@@ -4,6 +4,7 @@ eyeballing artifacts).
 """
 
 import numpy as np
+import pytest
 
 import sdfkit_tpu as sk
 from sdfkit_tpu.io.tga import read_tga, write_depth_tga, write_tga
@@ -44,3 +45,61 @@ class TestTga:
         assert back.shape == (8, 16, 3)
         # Sky pixels survive the round trip (corner ray misses the sphere).
         np.testing.assert_allclose(back[0, 0], [0.5, 0.75, 1.0], atol=1 / 255)
+
+
+class TestPng:
+    def test_rgb_roundtrip(self, tmp_path):
+        from sdfkit_tpu.io.png import read_png, write_png
+
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 1, size=(9, 21, 3)).astype(np.float32)
+        p = tmp_path / "rt.png"
+        write_png(p, img)
+        back = read_png(p)
+        assert back.shape == (9, 21, 3)
+        np.testing.assert_allclose(back, img, atol=1.0 / 255.0)
+
+    def test_grayscale_roundtrip(self, tmp_path):
+        from sdfkit_tpu.io.png import read_png, write_png
+
+        img = np.linspace(0, 1, 24, dtype=np.float32).reshape(4, 6)
+        p = tmp_path / "gray.png"
+        write_png(p, img)
+        back = read_png(p)
+        assert back.shape == (4, 6)
+        np.testing.assert_allclose(back, img, atol=1.0 / 255.0)
+
+    def test_depth_mapping_matches_tga(self, tmp_path):
+        from sdfkit_tpu.io.png import read_png, write_depth_png
+
+        depth = np.array([[1.0, 50.0, 100.0, 1e6]], np.float32)
+        p = tmp_path / "depth.png"
+        write_depth_png(p, depth, near=1.0, far=100.0)
+        gray = read_png(p)[0]
+        assert gray[0] == 1.0 and gray[3] == 0.0
+        assert gray[0] > gray[1] > gray[2]
+
+    def test_readable_by_pil(self, tmp_path):
+        from sdfkit_tpu.io.png import write_png
+
+        PIL = pytest.importorskip("PIL.Image")
+        img = np.asarray(sk.render(sk.sphere(1.0), 16, 8))
+        p = tmp_path / "render.png"
+        write_png(p, img)
+        with PIL.open(p) as im:
+            assert im.size == (16, 8) and im.mode == "RGB"
+
+
+class TestVoxelsPersistence:
+    def test_save_load_roundtrip(self, tmp_path):
+        s = sk.sphere(0.8, color=(0.9, 0.2, 0.1))
+        vox = s.to_voxels((-1, -1, -1), (1, 1, 1), 8, 8, 8)
+        p = tmp_path / "vol.npz"
+        vox.save(p)
+        back = sk.Voxels.load(p)
+        np.testing.assert_array_equal(np.asarray(back.values), np.asarray(vox.values))
+        np.testing.assert_array_equal(np.asarray(back.colors), np.asarray(vox.colors))
+        np.testing.assert_array_equal(np.asarray(back.vmin), np.asarray(vox.vmin))
+        # Meshing the loaded volume works identically.
+        m1, m2 = vox.to_mesh(), back.to_mesh()
+        assert len(m1.vertices) == len(m2.vertices) > 0
