@@ -103,8 +103,9 @@ def bench_render(rtt: float) -> dict:
     def chained_fused():
         # The image-level kernel generates rays in-kernel from the view
         # matrix, so the chain serializes on the view instead of the rays.
-        # pallas_call inside fori_loop recompiles per-iteration shapes are
-        # static, so plain python unroll keeps the chain jittable.
+        # A pallas_call inside fori_loop would recompile per iteration;
+        # since the per-iteration shapes are static, a plain Python unroll
+        # keeps the whole chain inside one jit.
         @jax.jit
         def f(scene, view):
             acc = jnp.float32(0.0)

@@ -26,6 +26,10 @@ def write_png(path, image: np.ndarray) -> None:
     """Write an (H, W, 3) float image in [0,1] (clipped) or an (H, W)
     grayscale float image as an 8-bit PNG."""
     img = np.asarray(image, np.float32)
+    if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[-1] != 3):
+        raise ValueError(
+            f"write_png expects (H, W) grayscale or (H, W, 3) RGB, got {img.shape}"
+        )
     gray = img.ndim == 2
     u8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     if gray:
@@ -61,7 +65,8 @@ def read_png(path) -> np.ndarray:
     (H, W, 3) or (H, W) float32 in [0, 1]."""
     with open(path, "rb") as f:
         data = f.read()
-    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
     pos = 8
     w = h = color_type = None
     idat = b""
@@ -73,8 +78,10 @@ def read_png(path) -> np.ndarray:
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            assert bit_depth == 8 and interlace == 0
-            assert color_type in (0, 2), "only gray/RGB supported"
+            if bit_depth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNGs supported")
+            if color_type not in (0, 2):
+                raise ValueError("only gray/RGB supported")
         elif tag == b"IDAT":
             idat += payload
         pos += 12 + length
@@ -82,6 +89,7 @@ def read_png(path) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(
         h, 1 + w * channels
     )
-    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
+    if not (raw[:, 0] == 0).all():
+        raise ValueError("only filter 0 supported")
     out = raw[:, 1:].reshape(h, w, channels).astype(np.float32) / 255.0
     return out[..., 0] if channels == 1 else out

@@ -39,6 +39,27 @@ def shard_rays(mesh: Mesh, *arrays):
     )
 
 
+def _pad_rows(tree, n_devices: int):
+    """Edge-pad the leading axis of every leaf to a multiple of n_devices.
+
+    The reference partitions uneven row bands without complaint
+    (RayMarcher.cs:50-61); sharded arrays need equal per-device extents, so
+    we pad with copies of the last row (valid rays/cells whose results are
+    sliced off after the gather) and return the original extent."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    orig = leaves[0].shape[0]
+    pad = (-orig) % n_devices
+    if pad == 0:
+        return tree, orig
+    padded = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate(
+            [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0
+        ),
+        tree,
+    )
+    return padded, orig
+
+
 def render_sharded(
     mesh: Mesh,
     sdf,
@@ -54,12 +75,12 @@ def render_sharded(
     if view is None:
         view = default_view()
     view = jnp.asarray(view, jnp.float32)
-    if height % mesh.devices.size != 0:
-        raise ValueError(
-            f"height {height} must divide evenly over {mesh.devices.size} devices"
-        )
 
     ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
+    (ro, _), (rd, _) = (
+        _pad_rows(ro, mesh.devices.size),
+        _pad_rows(rd, mesh.devices.size),
+    )
     ro, rd = shard_rays(mesh, ro, rd)
 
     fn = render_depth_rays if depth_only else render_rays
@@ -70,11 +91,11 @@ def render_sharded(
         in_specs=(P(), _ray_specs(), _ray_specs()),
         out_specs=_ray_specs(),
     )
-    return jax.jit(shmapped)(sdf, ro, rd)
+    return jax.jit(shmapped)(sdf, ro, rd)[:height]
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def _train_step_impl(mesh, sdf, ro, rd, cfg, target, lr):
+@partial(jax.jit, static_argnums=(0, 4, 7))
+def _train_step_impl(mesh, sdf, ro, rd, cfg, target, lr, n_real_rows):
     def loss_fn(sdf):
         local = lambda sdf, ro, rd: render_rays(sdf, ro, rd, cfg)
         img = jax.shard_map(
@@ -83,7 +104,11 @@ def _train_step_impl(mesh, sdf, ro, rd, cfg, target, lr):
             in_specs=(P(), _ray_specs(), _ray_specs()),
             out_specs=_ray_specs(),
         )(sdf, ro, rd)
-        return jnp.mean((img - target) ** 2)
+        # Padded rows (duplicated last row) are masked out of the loss so
+        # the mean matches the unpadded computation exactly.
+        row = jnp.arange(img.shape[0])[:, None, None]
+        se = jnp.where(row < n_real_rows, (img - target) ** 2, 0.0)
+        return jnp.sum(se) / (n_real_rows * img.shape[1] * img.shape[2])
 
     loss, grads = jax.value_and_grad(loss_fn)(sdf)
     new_sdf = jax.tree_util.tree_map(lambda p, g: p - lr * g, sdf, grads)
@@ -103,9 +128,17 @@ def train_step_sharded(mesh: Mesh, sdf, target, view=None, lr: float = 1e-2,
     view = jnp.asarray(view, jnp.float32)
 
     ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
+    n = mesh.devices.size
+    (ro, _), (rd, _), (target, _) = (
+        _pad_rows(ro, n),
+        _pad_rows(rd, n),
+        _pad_rows(target, n),
+    )
     ro, rd, (target,) = (*shard_rays(mesh, ro, rd), shard_rays(mesh, target))
 
-    return _train_step_impl(mesh, sdf, ro, rd, cfg, target, jnp.float32(lr))
+    return _train_step_impl(
+        mesh, sdf, ro, rd, cfg, target, jnp.float32(lr), height
+    )
 
 
 def voxelize_sharded(mesh: Mesh, sdf, vmin, vmax, nx: int, ny: int, nz: int,
@@ -114,11 +147,10 @@ def voxelize_sharded(mesh: Mesh, sdf, vmin, vmax, nx: int, ny: int, nz: int,
     from sdfkit_tpu.mesh.voxels import Voxels
     from sdfkit_tpu.ops.grid import cell_centers, clip_values_to_bounds
 
-    if nx % mesh.devices.size != 0:
-        raise ValueError(f"nx {nx} must divide over {mesh.devices.size} devices")
     vmin = jnp.asarray(vmin, jnp.float32)
     vmax = jnp.asarray(vmax, jnp.float32)
     p = cell_centers(vmin, vmax, nx, ny, nz)
+    p, _ = _pad_rows(p, mesh.devices.size)
     (p,) = shard_rays(mesh, p)  # leading axis = x bricks
 
     def local(sdf, p):
@@ -137,6 +169,7 @@ def voxelize_sharded(mesh: Mesh, sdf, vmin, vmax, nx: int, ny: int, nz: int,
             out_specs=(P("rays"), P("rays")),
         )
     )(sdf, p)
+    values, colors = values[:nx], colors[:nx]
     if clip_to_bounds:
         values = clip_values_to_bounds(values, vmin, vmax)
     return Voxels(values=values, colors=colors, vmin=vmin, vmax=vmax)

@@ -32,10 +32,11 @@ from sdfkit_tpu.render import raymarch as rm
 from sdfkit_tpu.utils.v3 import V3
 
 # Rows of 128 lanes per grid step. 512x128 f32 = 256 KB per array; outputs
-# plus march intermediates stay inside the 16 MB scoped-VMEM budget (1024
-# rows times marginally faster in isolation but OOMs scoped VMEM on the RGB
-# path once chained; swept on v5e at 1080p: 2.19/2.22/2.24 ms for
-# 1024/256/512).
+# plus march intermediates stay inside the 16 MB scoped-VMEM budget. Swept on
+# v5e at 1080p: 1024 rows -> 2.19 ms but OOMs scoped VMEM on the RGB path
+# once chained, 256 -> 2.22 ms, 512 -> 2.24 ms; 512 is chosen because the
+# 0.02 ms spread is within run-to-run jitter and 512 leaves the most
+# pipelining headroom for heavier scenes.
 BLOCK_ROWS = 512
 
 

@@ -52,9 +52,14 @@ class TestRenderSharded:
         d8 = np.asarray(render_sharded(mesh, s, 32, 16, depth_only=True))
         np.testing.assert_allclose(d1, d8, rtol=1e-3)
 
-    def test_rejects_indivisible_height(self, mesh):
-        with pytest.raises(ValueError):
-            render_sharded(mesh, scene(), 32, 15)
+    def test_indivisible_height_pads_and_matches(self, mesh):
+        # 15 rows over 8 devices: padded to 16, sliced back (the reference
+        # partitions uneven row bands without complaint, RayMarcher.cs:50-61).
+        s = scene()
+        img1 = np.asarray(sk.render(s, 32, 15))
+        img8 = np.asarray(render_sharded(mesh, s, 32, 15))
+        assert img8.shape == (15, 32, 3)
+        np.testing.assert_allclose(img1, img8, atol=2e-2)
 
 
 class TestVoxelizeSharded:
@@ -65,6 +70,21 @@ class TestVoxelizeSharded:
         np.testing.assert_array_equal(np.asarray(v1.values), np.asarray(v8.values))
         np.testing.assert_array_equal(np.asarray(v1.colors), np.asarray(v8.colors))
 
+    def test_indivisible_nx_pads_and_matches(self, mesh):
+        # Odd extents change XLA's shape-dependent FMA contraction, so the
+        # bit-exact guarantee (held for divisible shapes above) relaxes to a
+        # one-ulp tolerance here.
+        s = scene()
+        v1 = sk.voxelize(s, (-1, -1, -1), (1, 1, 1), 13, 8, 8)
+        v8 = voxelize_sharded(mesh, s, (-1, -1, -1), (1, 1, 1), 13, 8, 8)
+        assert np.asarray(v8.values).shape == (13, 8, 8)
+        np.testing.assert_allclose(
+            np.asarray(v1.values), np.asarray(v8.values), atol=2e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1.colors), np.asarray(v8.colors), atol=2e-7
+        )
+
 
 class TestTrainStepSharded:
     def test_step_reduces_loss(self, mesh):
@@ -74,6 +94,19 @@ class TestTrainStepSharded:
         s2, l2 = train_step_sharded(mesh, s1, target, lr=0.05)
         assert np.isfinite(float(l1)) and np.isfinite(float(l2))
         assert float(l2) < float(l1)
+
+    def test_indivisible_height_matches_single_device(self, mesh):
+        # Padded rows must not leak into the loss or the gradients.
+        s = sk.sphere(1.0, color=(0.5, 0.5, 0.5))
+        target = jnp.zeros((15, 24, 3), jnp.float32)
+        single = Mesh(np.array(jax.devices()[:1]), axis_names=("rays",))
+        s_multi, l_multi = train_step_sharded(mesh, s, target, lr=0.05)
+        s_single, l_single = train_step_sharded(single, s, target, lr=0.05)
+        np.testing.assert_allclose(float(l_multi), float(l_single), rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_multi), jax.tree_util.tree_leaves(s_single)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
     def test_grads_replicated_consistently(self, mesh):
         # The updated params must be identical to a single-device update.
