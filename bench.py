@@ -94,7 +94,12 @@ def bench_render(rtt: float) -> dict:
                 ro, rd = camera_rays(
                     cfg.width, cfg.height, v, cfg.vfov_degrees, cfg.near, cfg.far
                 )
-                return acc + jnp.sum(render_rays(scene, ro, rd, cfg))
+                img = render_rays(scene, ro, rd, cfg)
+                # Force the full (H, W, 3) frame to HBM — without the barrier
+                # XLA fuses the image into the reduction and never pays the
+                # frame-buffer write a real renderer pays.
+                img = jax.lax.optimization_barrier(img)
+                return acc + jnp.sum(img)
 
             return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 
@@ -111,7 +116,8 @@ def bench_render(rtt: float) -> dict:
             acc = jnp.float32(0.0)
             for _ in range(CHAIN):
                 v = view + acc * 1e-30
-                acc = acc + jnp.sum(render_image_fused(scene, v, cfg))
+                img = jax.lax.optimization_barrier(render_image_fused(scene, v, cfg))
+                acc = acc + jnp.sum(img)
             return acc
 
         return f
@@ -145,22 +151,39 @@ def bench_voxels(rtt: float, n: int = 256, chain: int = 64) -> dict:
     # so it needs ~64 chained repetitions to rise above the tunnel RTT floor.
     scene = sphere_repeat_scene()
 
-    @jax.jit
-    def chained(scene):
-        def body(_, acc):
-            lo = jnp.float32(-2.0) + acc * 1e-30  # serialize repetitions
-            v = sk.voxelize(scene, (lo, lo, lo), (2, 2, 2), n, n, n)
-            return acc + jnp.sum(v.values)
+    def make_chained(materialize: bool):
+        @jax.jit
+        def chained(scene):
+            def body(_, acc):
+                lo = jnp.float32(-2.0) + acc * 1e-30  # serialize repetitions
+                v = sk.voxelize(scene, (lo, lo, lo), (2, 2, 2), n, n, n)
+                if materialize:
+                    # Honest voxelization: force BOTH grids (values n^3 f32 +
+                    # colors n^3x3 f32, 268 MB at 256^3) to be materialized in
+                    # HBM. Without the barrier XLA dead-code-eliminates the
+                    # colors (nothing reads them) and fuses values into the
+                    # reduce — round 1 reported 211k Msamples/s that way,
+                    # implying HBM write bandwidth the chip does not have.
+                    values, colors = jax.lax.optimization_barrier(
+                        (v.values, v.colors)
+                    )
+                    return acc + jnp.sum(values) + jnp.sum(colors)
+                return acc + jnp.sum(v.values)  # round-1 fused-reduce variant
 
-        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
 
-    total = _timed_chain(chained, scene)
+        return chained
+
+    total = _timed_chain(make_chained(True), scene)
     seconds = max((total - rtt) / chain, 1e-9)
+    total_fused = _timed_chain(make_chained(False), scene)
+    seconds_fused = max((total_fused - rtt) / chain, 1e-9)
     return {
         "metric": f"voxel_samples_{n}^3",
         "value": round(n**3 / seconds / 1e6, 3),
         "unit": "Msamples/s",
         "seconds": round(seconds, 4),
+        "fused_reduce_Msamples_per_s": round(n**3 / seconds_fused / 1e6, 3),
     }
 
 
@@ -181,6 +204,9 @@ def main():
         result = bench_render(rtt)
         vox = bench_voxels(rtt)
     result["extra"]["voxel_Msamples_per_s"] = vox["value"]
+    result["extra"]["voxel_fused_reduce_Msamples_per_s"] = vox[
+        "fused_reduce_Msamples_per_s"
+    ]
     if opts.profile:
         result["extra"]["profile_dir"] = opts.profile
     print(json.dumps(result))
