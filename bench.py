@@ -187,6 +187,24 @@ def bench_voxels(rtt: float, n: int = 256, chain: int = 64) -> dict:
     }
 
 
+def bench_mesh(n: int = 256) -> dict:
+    """End-to-end to_mesh wall-clock at n^3: device voxelize + on-device
+    classify/compact/corner-gather (O(surface) transfer) + host sparse phase
+    (dispatch, welding, normals). One timed run after a warmup run that pays
+    the jit compiles."""
+    scene = sphere_repeat_scene()
+    v = sk.voxelize(scene, (-2.0,) * 3, (2.0,) * 3, n, n, n)
+    float(jnp.sum(v.values))  # sync: grid resident on device before timing
+    v.to_mesh()  # warmup: compiles the classify/gather kernels
+    t0 = time.perf_counter()
+    m = v.to_mesh()
+    dt = time.perf_counter() - t0
+    return {
+        f"mesh_{n}^3_ms": round(dt * 1e3, 1),
+        f"mesh_{n}^3_vertices": len(m.vertices),
+    }
+
+
 def main():
     # --profile DIR wraps the timed loops in a jax.profiler trace viewable in
     # TensorBoard/XProf (the analogue of the reference's `make mactrace`
@@ -203,10 +221,12 @@ def main():
     with trace:
         result = bench_render(rtt)
         vox = bench_voxels(rtt)
+        mesh = bench_mesh()
     result["extra"]["voxel_Msamples_per_s"] = vox["value"]
     result["extra"]["voxel_fused_reduce_Msamples_per_s"] = vox[
         "fused_reduce_Msamples_per_s"
     ]
+    result["extra"].update(mesh)
     if opts.profile:
         result["extra"]["profile_dir"] = opts.profile
     print(json.dumps(result))

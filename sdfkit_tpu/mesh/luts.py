@@ -76,6 +76,14 @@ CORNER_DX = np.array([0, 1, 1, 0, 0, 1, 1, 0], np.int8)
 CORNER_DY = np.array([0, 0, 1, 1, 0, 0, 1, 1], np.int8)
 CORNER_DZ = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.int8)
 
+# Packed corner offset (dz*4 + dy*2 + dx) -> MC corner index; the inverse of
+# the CORNER_D* tables. Lets the sparse mesh phase look corner values up in
+# the per-active-cell (8, n) gather instead of the full grid.
+OFFSET_TO_MC = np.zeros(8, np.int8)
+OFFSET_TO_MC[
+    CORNER_DZ.astype(np.int64) * 4 + CORNER_DY * 2 + CORNER_DX
+] = np.arange(8, dtype=np.int8)
+
 # Canonical edge ownership for vertex welding, derived from
 # Cell.GetIndexInFacelayer (Cell.cs:371-441): each edge index 0..11 maps to a
 # cell offset and one of 4 per-cell slots (0: x-edge, 1: y-edge, 2: z-edge);

@@ -9,18 +9,26 @@ accumulation into normals (including the reference's packed-index/MC-corner
 vg indexing quirk, Cell.cs:453-498), same first-occurrence vertex ordering —
 so the reference's golden vertex counts transfer.
 
-Architecture (TPU-first split): the dense O(n^3) work — SDF evaluation — runs
-on device (ops/grid.py); cell classification is vectorized; and the sparse
-O(surface) work — case dispatch, vertex welding via canonical edge keys,
-gradient scatter-add — is vectorized numpy on host, replacing the reference's
-strictly sequential per-cell loop and rolling face-layer dedup
-(MarchingCubes.cs:53-80, Cell.cs:123-143) with grouped array ops. The
-sequential face-layer trick exists only to keep the dedup table small; the
-canonical-key formulation is order-free and parallel.
+Architecture (TPU-first split): the dense O(n^3) work — SDF evaluation
+(ops/grid.py), per-cell case classification, and active-cell compaction +
+corner gathers — runs ON DEVICE in z-slabs, so the only device→host transfer
+is O(surface): the active cells' flat indices, case bytes, 8 corner values
+and 8 corner colors. The sparse O(surface) work — case dispatch, vertex
+welding via canonical edge keys, gradient scatter-add — is vectorized numpy
+on host, replacing the reference's strictly sequential per-cell loop and
+rolling face-layer dedup (MarchingCubes.cs:53-80, Cell.cs:123-143) with
+grouped array ops. The sequential face-layer trick exists only to keep the
+dedup table small; the canonical-key formulation is order-free and parallel.
+Progress fires per z-slab DURING the dense sweep (the reference reports once
+per z layer inside its loop, MarchingCubes.cs:81).
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sdfkit_tpu.mesh import luts
@@ -28,31 +36,76 @@ from sdfkit_tpu.mesh.mesh import Mesh
 
 FLT_EPSILON = 1e-7  # MarchingCubes.cs:37, Cell.cs:63
 
+# z-slab count for the device dense sweep. Each slab is one classify + one
+# compact/gather dispatch and one progress burst; 8 keeps dispatch overhead
+# negligible while giving live progress at useful granularity.
+N_PROGRESS_SLABS = 8
 
-def _classify_cells(vals32, iso, step: int, lx: int, ly: int, lz: int):
-    """Dense phase: the MC case index of every cell as a uint8 (lx, ly, lz)
-    array (the reference classifies per cell inside its triple loop,
-    MarchingCubes.cs:53-80).
 
-    Eight strided *views* of the value grid replace per-cell corner gathers —
-    one streaming pass, no index arrays. The grid is already host-resident
-    (the sparse phase below needs it), so this runs in numpy; the O(n^3)
-    device work is the SDF evaluation in ops/grid.py. The predicate
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _classify_slab(values, iso, z0_grid, step: int, lx: int, ly: int, m: int):
+    """Dense phase (on device): MC case byte of every cell in a z-slab of
+    ``m`` cell layers starting at grid z ``z0_grid``.
+
+    Eight strided slices of the value grid replace per-cell corner gathers —
+    one streaming pass, no index arrays (the reference classifies per cell
+    inside its triple loop, MarchingCubes.cs:53-80). The predicate
     ``value > iso`` in f32 is exact (both operands are representable),
     matching the reference's ``v - iso > 0`` computed in double (f32→f64 is
-    lossless and the f64 subtraction of two f32 values is exact)."""
-    bits = np.zeros((lx, ly, lz), np.uint8)
+    lossless and the f64 subtraction of two f32 values is exact).
+
+    Returns (case bytes flat in (z, y, x) cell order, active mask, count).
+    """
+    nx, ny, nz = values.shape
+    zext = m * step + 1  # corners reach z0 + (m-1)*step + step
+    sub = jax.lax.dynamic_slice(values, (0, 0, z0_grid), (nx, ny, zext))
+    bits = jnp.zeros((lx, ly, m), jnp.uint8)
     for k in range(8):
         dx = int(luts.CORNER_DX[k]) * step
         dy = int(luts.CORNER_DY[k]) * step
         dz = int(luts.CORNER_DZ[k]) * step
-        slab = vals32[
-            dx : dx + (lx - 1) * step + 1 : step,
-            dy : dy + (ly - 1) * step + 1 : step,
-            dz : dz + (lz - 1) * step + 1 : step,
-        ]  # (lx, ly, lz) view: value at corner k of every cell
-        bits += np.uint8(1 << k) * (slab > iso)
-    return bits
+        corner = jax.lax.slice(
+            sub,
+            (dx, dy, dz),
+            (dx + (lx - 1) * step + 1, dy + (ly - 1) * step + 1,
+             dz + (m - 1) * step + 1),
+            (step, step, step),
+        )  # (lx, ly, m): value at corner k of every cell in the slab
+        bits = bits + jnp.uint8(1 << k) * (corner > iso).astype(jnp.uint8)
+    bits = bits.transpose(2, 1, 0).reshape(-1)  # reference (z, y, x) order
+    casenum = jnp.asarray(luts.cases[:, 0], jnp.int32)[bits.astype(jnp.int32)]
+    mask = casenum > 0
+    return bits, mask, jnp.sum(mask.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _gather_slab(values, colors, bits, mask, z0_grid, step: int, lx: int,
+                 ly: int, size: int):
+    """Compaction + corner gather (on device): active-cell flat indices
+    (slab-local, (z, y, x) order), their case bytes, 8 corner values (8, size)
+    and 8 corner colors (8, size, 3). ``size`` is a static power-of-two bucket
+    >= the true count; callers slice to the count on host."""
+    idx = jnp.nonzero(mask, size=size, fill_value=0)[0]
+    cx = (idx % lx) * step
+    cy = ((idx // lx) % ly) * step
+    cz = z0_grid + (idx // (lx * ly)) * step
+    v8 = jnp.stack(
+        [
+            values[cx + step * int(luts.CORNER_DX[k]),
+                   cy + step * int(luts.CORNER_DY[k]),
+                   cz + step * int(luts.CORNER_DZ[k])]
+            for k in range(8)
+        ]
+    )
+    c8 = jnp.stack(
+        [
+            colors[cx + step * int(luts.CORNER_DX[k]),
+                   cy + step * int(luts.CORNER_DY[k]),
+                   cz + step * int(luts.CORNER_DZ[k]), :]
+            for k in range(8)
+        ]
+    )
+    return idx, bits[idx], v8, c8
 
 
 def _test_face(face, v8):
@@ -309,20 +362,14 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     # (f32 compare) and the host sparse phase (f64 subtraction of two exact
     # f32 values) see identical signs.
     iso = float(np.float32(iso_value))
-    vals32 = np.asarray(voxels.values, np.float32)
-    colors32 = np.asarray(voxels.colors, np.float32)
-    nx, ny, nz = vals32.shape
+    values_dev = jnp.asarray(voxels.values, jnp.float32)
+    colors_dev = jnp.asarray(voxels.colors, jnp.float32)
+    nx, ny, nz = values_dev.shape
     step = int(step)
 
-    def values_at(ix, iy, iz):
-        """Sparse iso-subtracted grid lookup in float64 (the only precision
-        the ambiguity tests and interpolation ever see, as in the reference's
-        double-typed Cell, Cell.cs:191-233)."""
-        return vals32[ix, iy, iz].astype(np.float64) - iso
-
-    def colors_at(ix, iy, iz):
-        return colors32[ix, iy, iz].astype(np.float64)
-
+    # Visited cell coordinates are the multiples of step strictly below
+    # n - step (emulating the reference's `z = -step; while (z < n - 2*step)
+    # { z += step; ... }` loops, MarchingCubes.cs:53-66).
     xs = np.arange(0, nx - step, step)
     ys = np.arange(0, ny - step, step)
     zs = np.arange(0, nz - step, step)
@@ -339,46 +386,66 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
             progress(1.0)
         return mesh
 
-    # --- dense phase on device: per-cell case index, (z, y, x) cell order
-    #     matching the reference's loop nesting (MarchingCubes.cs:53-80) ---
+    # --- dense phase ON DEVICE, one z-slab at a time: classify every cell,
+    #     compact the active ones, gather their corner values/colors. Only
+    #     O(surface) bytes cross to the host. Progress fires per slab while
+    #     the sweep is still running (the reference reports once per z layer
+    #     inside its loop, MarchingCubes.cs:81; same values, slab-grained). ---
     lx, ly, lz = xs.size, ys.size, zs.size
-    case_index = (
-        _classify_cells(vals32, np.float32(iso), step, lx, ly, lz)
-        .transpose(2, 1, 0)  # reference (z, y, x) cell order
-        .reshape(-1)
-        .astype(np.int64)
-    )
+    slab = max(1, -(-lz // N_PROGRESS_SLABS))
+    iso32 = jnp.float32(iso)
+    idx_parts, case_parts, v8_parts, c8_parts = [], [], [], []
+    for s0 in range(0, lz, slab):
+        m = min(slab, lz - s0)
+        z0 = s0 * step
+        bits, mask, count = _classify_slab(
+            values_dev, iso32, z0, step, lx, ly, m
+        )
+        count = int(count)
+        if count:
+            # Power-of-two size buckets bound jit recompiles.
+            size = 1 << max(count - 1, 0).bit_length()
+            li, lb, lv, lc = _gather_slab(
+                values_dev, colors_dev, bits, mask, z0, step, lx, ly, size
+            )
+            idx_parts.append(np.asarray(li[:count], np.int64) + s0 * lx * ly)
+            case_parts.append(np.asarray(lb[:count]))
+            v8_parts.append(np.asarray(lv[:, :count]))
+            c8_parts.append(np.asarray(lc[:, :count]))
+        if progress is not None:
+            for z in zs[s0 : s0 + m]:
+                progress(float(z) / nz_bound)
+
+    if not idx_parts:
+        return Mesh(
+            np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0)
+        )
+
+    # Sparse phase on host: everything below is O(surface cells).
+    active = np.concatenate(idx_parts)
+    case_index = np.concatenate(case_parts).astype(np.int64)
+    # Iso-subtracted corner values in float64 — the only precision the
+    # ambiguity tests and interpolation ever see, as in the reference's
+    # double-typed Cell (Cell.cs:191-233). f32→f64 is lossless and the f64
+    # subtraction of two f32 values is exact.
+    v8 = np.concatenate(v8_parts, axis=1).astype(np.float64) - iso
+    c8 = np.concatenate(c8_parts, axis=1).astype(np.float64)
+
     casenum = luts.cases[case_index, 0].astype(np.int64)
     config = luts.cases[case_index, 1].astype(np.int64)
 
-    active = np.nonzero(casenum > 0)[0]
-    if active.size == 0:
-        mesh = Mesh(
-            np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0)
-        )
-        if progress is not None:
-            progress(1.0)
-        return mesh
-
-    # Sparse phase on host: everything below is O(surface cells). Cell grid
-    # coordinates from the flat (z, y, x) index; corner values gathered only
-    # for active cells.
+    # Cell grid coordinates from the flat (z, y, x) index.
     acx = (active % lx) * step
     acy = ((active // lx) % ly) * step
     acz = (active // (lx * ly)) * step
-    v8 = np.stack(
-        [
-            values_at(
-                acx + step * luts.CORNER_DX[k],
-                acy + step * luts.CORNER_DY[k],
-                acz + step * luts.CORNER_DZ[k],
-            )
-            for k in range(8)
-        ]
-    )  # (8, n_active) float64
+
+    def corner_of(rel_dx, rel_dy, rel_dz):
+        """(dx, dy, dz) ∈ {0,1}^3 offset arrays -> MC corner index arrays."""
+        packed = rel_dz.astype(np.int64) * 4 + rel_dy * 2 + rel_dx
+        return luts.OFFSET_TO_MC[packed].astype(np.int64)
 
     # --- dispatch: per-cell tilings (TheBigSwitch) ---
-    groups = _dispatch(casenum[active], config[active], v8)
+    groups = _dispatch(casenum, config, v8)
 
     # --- assemble the global face stream in reference order ---
     n_active = active.size
@@ -423,6 +490,7 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     edge_m = r_vi < 12
     if edge_m.any():
         evi = r_vi[edge_m]
+        cells = r_cell[edge_m]
         ex, ey, ez = r_cx[edge_m], r_cy[edge_m], r_cz[edge_m]
         d1x = luts.edgesrelx[evi, 0].astype(np.float64)
         d1y = luts.edgesrely[evi, 0].astype(np.float64)
@@ -431,17 +499,16 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         d2y = luts.edgesrely[evi, 1].astype(np.float64)
         d2z = luts.edgesrelz[evi, 1].astype(np.float64)
 
-        def grid_at(at, dx, dy, dz):
-            return at(
-                (ex + step * dx).astype(np.int64),
-                (ey + step * dy).astype(np.int64),
-                (ez + step * dz).astype(np.int64),
-            )
-
-        va = grid_at(values_at, d1x, d1y, d1z)
-        vb = grid_at(values_at, d2x, d2y, d2z)
-        ca = grid_at(colors_at, d1x, d1y, d1z)
-        cb = grid_at(colors_at, d2x, d2y, d2z)
+        k1 = corner_of(
+            luts.edgesrelx[evi, 0], luts.edgesrely[evi, 0], luts.edgesrelz[evi, 0]
+        )
+        k2 = corner_of(
+            luts.edgesrelx[evi, 1], luts.edgesrely[evi, 1], luts.edgesrelz[evi, 1]
+        )
+        va = v8[k1, cells]
+        vb = v8[k2, cells]
+        ca = c8[k1, cells]
+        cb = c8[k2, cells]
         t1 = 1.0 / (FLT_EPSILON + np.abs(va))
         t2 = 1.0 / (FLT_EPSILON + np.abs(vb))
         ff = t1 + t2
@@ -462,17 +529,7 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         verts[center_m, 0] = r_cx[center_m] + step * fx / ff
         verts[center_m, 1] = r_cy[center_m] + step * fy / ff
         verts[center_m, 2] = r_cz[center_m] + step * fz / ff
-        # corner colors, MC numbering
-        ccol = np.stack(
-            [
-                colors_at(
-                    acx[cc] + step * luts.CORNER_DX[k],
-                    acy[cc] + step * luts.CORNER_DY[k],
-                    acz[cc] + step * luts.CORNER_DZ[k],
-                )
-                for k in range(8)
-            ]
-        )  # (8, k, 3)
+        ccol = c8[:, cc]  # (8, k, 3) corner colors, MC numbering
         vcols[center_m] = (ccol * strength[:, :, None]).sum(axis=0) / ff[:, None]
 
     # --- gradient accumulation into normals (every face reference
@@ -497,18 +554,10 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
             + luts.edgesrely[evi, 1] * 2
             + luts.edgesrelx[evi, 1]
         )
-        # vv is remapped so vv[packed] = value at that offset: gather from grid.
-        ex, ey, ez = acx[ecell], acy[ecell], acz[ecell]
-        va = values_at(
-            ex + step * luts.edgesrelx[evi, 0],
-            ey + step * luts.edgesrely[evi, 0],
-            ez + step * luts.edgesrelz[evi, 0],
-        )
-        vb = values_at(
-            ex + step * luts.edgesrelx[evi, 1],
-            ey + step * luts.edgesrely[evi, 1],
-            ez + step * luts.edgesrelz[evi, 1],
-        )
+        # vv is remapped so vv[packed] = value at that offset: look the
+        # endpoint values up by MC corner in the gathered v8.
+        va = v8[luts.OFFSET_TO_MC[p1].astype(np.int64), ecell]
+        vb = v8[luts.OFFSET_TO_MC[p2].astype(np.int64), ecell]
         t1 = 1.0 / (FLT_EPSILON + np.abs(va))
         t2 = 1.0 / (FLT_EPSILON + np.abs(vb))
         contrib = (
@@ -537,12 +586,6 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     normals = normals / scale
     nn = np.linalg.norm(normals, axis=1, keepdims=True)
     normals = normals / np.where(nn > 0, nn, 1.0)
-
-    if progress is not None:
-        # Reference reports z/nz_bound once per z layer
-        # (MarchingCubes.cs:81); emit the same sequence.
-        for z in zs:
-            progress(float(z) / nz_bound)
 
     return Mesh(
         verts.astype(np.float32),

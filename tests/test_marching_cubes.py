@@ -61,8 +61,16 @@ class TestGoldenCounts:
         m = v.to_mesh(progress=got.append)
         assert len(m.vertices) == 72240
         assert all(0.0 <= f <= 1.0 for f in got)
-        assert any(f < 1e-6 for f in got)
-        assert any(1.0 - f < 1e-6 for f in got)
+        # Live progress (the reference reports once per z layer DURING its
+        # loop, MarchingCubes.cs:81; Tests/MarchingCubesTests.cs:141-171
+        # asserts intermediate values arrive): the sequence must start at
+        # 0.0, end at 1.0, be monotone non-decreasing, and contain many
+        # distinct intermediate values — not just the endpoints replayed
+        # after the fact.
+        assert got[0] == 0.0
+        assert got[-1] == 1.0
+        assert got == sorted(got)
+        assert len(set(got)) > 100  # one value per z layer (126 layers)
         assert np.linalg.norm(m.center) < 1e-6
         assert abs(m.size[0] / 2 - 3.0) < 0.1
 
@@ -101,12 +109,22 @@ class TestMeshProperties:
         assert m.triangles.max() < len(m.vertices)
 
     def test_step2(self):
+        # step=2 on a 20-grid visits cells x,y,z in {0,2,...,16} — the same
+        # 9-cell cadence as a 10-grid (the reference's `while (x < n-2*step)
+        # { x += step; }` loops, MarchingCubes.cs:53-66) but at the 20-grid's
+        # cell-center sample positions. Pinned count: 312 vertices (equal to
+        # the 10-grid golden by the sphere's symmetry).
         m1 = mesh_of(sk.sphere(2.0), -2.5, 2.5, 20, **{"step": 2})
-        m2 = mesh_of(sk.sphere(2.0), -2.5, 2.5, 10)
-        # step=2 on a 20-grid visits the same cadence of cells as a 10-grid;
-        # counts needn't match exactly but the mesh must be a valid sphere.
-        assert len(m1.vertices) > 100
+        assert len(m1.vertices) == 312
         assert abs(m1.size[0] / 2 - 2.0) < 0.3
+
+    def test_step2_odd_extent(self):
+        # Odd grid extent with step=2: the last visited cell coordinate is
+        # the largest multiple of step strictly below n-step (18 for n=21),
+        # whose +step corner touches the final layer. Pins the bound math.
+        m = mesh_of(sk.sphere(2.0), -2.5, 2.5, 21, **{"step": 2})
+        assert len(m.vertices) == 342
+        assert abs(m.size[0] / 2 - 2.0) < 0.3
 
     def test_iso_value_offset(self):
         # iso=0.5 on a sphere of r=1 extracts the r=1.5 shell. clip=False:
