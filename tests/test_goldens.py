@@ -1,0 +1,48 @@
+"""Whole-image golden regression tests.
+
+The reference writes TGA render goldens per test run (reference:
+Tests/RayMarcherTests.cs:94-159); here the equivalent renders are committed
+under tests/goldens/ (generated once on the CPU backend by
+tools/gen_goldens.py) and compared pixel-for-pixel, pinning whole-image
+shading that the scalar depth probes in test_raymarch.py can't — a kernel
+regression that shifts the whole image would pass those but fail these.
+"""
+
+import pathlib
+
+import numpy as np
+
+import sdfkit_tpu as sk
+from sdfkit_tpu.io.png import read_png
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
+
+
+def test_depth_goldens():
+    for name, expr in (
+        ("sphere", sk.sphere(1.0)),
+        ("box", sk.box(1.0)),
+        ("plane", sk.plane_xy()),
+    ):
+        golden = np.load(GOLDEN_DIR / f"{name}_depth_50x30.npy")
+        depth = np.asarray(sk.render_depth(expr, 50, 30), np.float32)
+        # Miss rays accumulate depth far past the far plane (the reference's
+        # no-early-exit march), so magnitudes span ~1..1e12: rtol does the
+        # comparison work; atol covers near-zero entries.
+        np.testing.assert_allclose(depth, golden, rtol=1e-4, atol=1e-4,
+                                    err_msg=name)
+
+
+def test_sphere_repeat_rgb_golden():
+    from bench import sphere_repeat_scene
+
+    golden = read_png(GOLDEN_DIR / "sphere_repeat_192x108.png")
+    img = np.asarray(
+        sk.render(sphere_repeat_scene(), 192, 108,
+                  camera_position=(-2.0, 2.0, 4.0))
+    )
+    img = np.clip(img, 0.0, 1.0)
+    assert golden.shape == img.shape == (108, 192, 3)
+    # 8-bit quantization floor is 0.5/255 ~= 0.002; allow double that plus
+    # run-to-run fp-contraction drift.
+    np.testing.assert_allclose(img, golden, atol=5e-3)
