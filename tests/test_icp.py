@@ -142,3 +142,76 @@ class TestIcp:
         assert global_register_points([]) == ([], [])
         a, t = global_register_points([THREE_POINTS])
         assert len(a) == 1 and len(t) == 1
+
+
+class TestJaxIcp:
+    """Differentiable on-device ICP (register_points_jax): parity with the
+    numpy reference path plus gradient flow."""
+
+    def test_parity_with_numpy_path(self):
+        from sdfkit_tpu.registration.icp import register_points_jax
+
+        rng = np.random.default_rng(4)
+        pts = (rng.random((80, 3)) - 0.5).astype(np.float32)
+        m = translation(0.05, -0.02, 0.03) @ rot_y(np.deg2rad(1.0))
+        transformed = apply(pts, m)
+
+        aligned_np, inv_np = IterativeClosestPoint(pts).register_points(
+            transformed
+        )
+        aligned_j, inv_j = register_points_jax(pts, transformed)
+        np.testing.assert_allclose(np.asarray(aligned_j), aligned_np, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(inv_j), inv_np, atol=1e-4)
+        # And it actually solved the problem: round trip to the sources.
+        np.testing.assert_allclose(np.asarray(aligned_j), pts, atol=1e-3)
+
+    def test_gradient_through_alignment(self):
+        import jax
+        import jax.numpy as jnp
+
+        from sdfkit_tpu.registration.icp import register_points_jax
+
+        rng = np.random.default_rng(5)
+        pts = (rng.random((50, 3)) - 0.5).astype(np.float32)
+
+        def loss(theta):
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            r = jnp.array([[c, 0.0, -s], [0.0, 1.0, 0.0], [s, 0.0, c]])
+            scan = pts @ r + jnp.array([0.05, 0.0, 0.0])
+            aligned, _ = register_points_jax(pts, scan, max_iterations=10)
+            return jnp.mean((aligned - pts) ** 2)
+
+        g = jax.grad(loss)(jnp.float32(0.02))
+        assert np.isfinite(float(g))
+        # Finite-difference check: the analytic gradient matches.
+        eps = 1e-3
+        fd = (float(loss(jnp.float32(0.02 + eps)))
+              - float(loss(jnp.float32(0.02 - eps)))) / (2 * eps)
+        assert abs(float(g) - fd) < max(0.2 * abs(fd), 1e-4)
+
+
+class TestOutlierRejection:
+    def test_far_outliers_rejected(self):
+        """Pathological fixture for the far-outlier branch
+        (dist_mean > 6 * good -> dist_max = mean + 0.5 + std, the stand-in
+        for the reference's valley-after-peak heuristic,
+        IterativeClosestPoint.cs:111-114): gross outliers 10 units away must
+        not corrupt the recovered transform."""
+        rng = np.random.default_rng(6)
+        pts = (rng.random((200, 3)) - 0.5).astype(np.float32)
+        m = translation(0.08, 0.0, -0.05)
+        transformed = apply(pts, m).astype(np.float32)
+        # 5 gross outliers: mean NN distance starts > 6 * good (0.06).
+        outliers = np.array(
+            [[10.0, 10.0, 10.0], [-10, 8, 9], [9, -10, 8], [8, 9, -10],
+             [10, 0, -10]],
+            np.float32,
+        )
+        scan = np.concatenate([transformed, outliers])
+
+        icp = IterativeClosestPoint(pts)
+        aligned, inv_transform = icp.register_points(scan)
+        recovered = np.linalg.inv(inv_transform)
+        np.testing.assert_allclose(recovered[3, :3], m[3, :3], atol=5e-3)
+        # Inliers land back on the sources despite the outliers.
+        np.testing.assert_allclose(aligned[:200], pts, atol=5e-3)
