@@ -187,6 +187,59 @@ def bench_voxels(rtt: float, n: int = 256, chain: int = 64) -> dict:
     }
 
 
+def bench_grad(rtt: float, chain: int = 8) -> dict:
+    """Forward+backward throughput at 1080p: jax.grad of an image-sum loss
+    w.r.t. every scene parameter. 'fused' runs the Pallas backward kernel
+    (in-VMEM march replay, O(tile) memory; render/pallas/raymarch_kernel.py),
+    'jnp' is XLA autodiff through the fori_loop march (~40 full-frame HBM
+    residuals)."""
+    from sdfkit_tpu.render.raymarch import RenderConfig, render_rays
+    from sdfkit_tpu.render.pallas.raymarch_kernel import render_image_fused
+    from sdfkit_tpu.utils.camera import camera_rays
+
+    scene = sphere_repeat_scene()
+    view = sk.look_at((-2.0, 2.0, 4.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT)
+
+    def loss_fused(s, v):
+        return jnp.sum(render_image_fused(s, v, cfg))
+
+    def loss_jnp(s, v):
+        ro, rd = camera_rays(
+            cfg.width, cfg.height, v, cfg.vfov_degrees, cfg.near, cfg.far
+        )
+        return jnp.sum(render_rays(s, ro, rd, cfg))
+
+    def chained(loss):
+        @jax.jit
+        def f(scene, view):
+            acc = jnp.float32(0.0)
+            for _ in range(chain):
+                v = view + acc * 1e-30  # serialize on the previous grads
+                g = jax.grad(loss)(scene, v)
+                acc = acc + jax.tree_util.tree_reduce(
+                    lambda a, l: a + jnp.sum(l), g, jnp.float32(0.0)
+                )
+            return acc
+
+        return f
+
+    per_frame = {}
+    for name, loss in (("fused", loss_fused), ("jnp", loss_jnp)):
+        total = _timed_chain(chained(loss), scene, view)
+        per_frame[name] = max((total - rtt) / chain, 1e-9)
+
+    best = min(per_frame, key=per_frame.get)
+    seconds = per_frame[best]
+    return {
+        "grad_Mrays_per_s": round(WIDTH * HEIGHT / seconds / 1e6, 3),
+        "grad_ms": round(seconds * 1e3, 3),
+        "grad_backend": best,
+        "grad_ms_fused": round(per_frame["fused"] * 1e3, 3),
+        "grad_ms_jnp": round(per_frame["jnp"] * 1e3, 3),
+    }
+
+
 def bench_mesh(n: int = 256) -> dict:
     """End-to-end to_mesh wall-clock at n^3: device voxelize + on-device
     classify/compact/corner-gather (O(surface) transfer) + host sparse phase
@@ -222,11 +275,13 @@ def main():
         result = bench_render(rtt)
         vox = bench_voxels(rtt)
         mesh = bench_mesh()
+        grad = bench_grad(rtt)
     result["extra"]["voxel_Msamples_per_s"] = vox["value"]
     result["extra"]["voxel_fused_reduce_Msamples_per_s"] = vox[
         "fused_reduce_Msamples_per_s"
     ]
     result["extra"].update(mesh)
+    result["extra"].update(grad)
     if opts.profile:
         result["extra"]["profile_dir"] = opts.profile
     print(json.dumps(result))

@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -40,19 +41,12 @@ from sdfkit_tpu.utils.v3 import V3
 BLOCK_ROWS = 512
 
 
-def _march_and_shade(sdf, ro: V3, rd: V3, cfg: rm.RenderConfig, want_color: bool):
-    """The per-tile computation (identical math to render/raymarch.py)."""
-    depth = ro.x * 0.0 + jnp.float32(cfg.near - 0.1)
-
-    def body(_, depth):
-        pos = ro + rd * depth
-        return depth + sdf.distance(pos)
-
-    n = cfg.depth_iterations
-    if not want_color:
-        return jax.lax.fori_loop(0, n, body, depth), None
-
-    depth = jax.lax.fori_loop(0, n - 1, body, depth)
+def _final_shade(sdf, ro: V3, rd: V3, depth, cfg: rm.RenderConfig):
+    """The last march step (the sample whose RGB becomes the diffuse color,
+    RayMarcher.cs:142-144) plus normal estimation and Lambert shading.
+    ``depth`` is the accumulated depth after n-1 march steps. Returns
+    (final depth, shaded rgb V3). Loop-free, so its jax.vjp inside the
+    backward kernel carries only O(tile) residuals."""
     pos = ro + rd * depth
     color, dist = sdf.eval(pos)
     diffuse = V3(
@@ -85,6 +79,22 @@ def _march_and_shade(sdf, ro: V3, rd: V3, cfg: rm.RenderConfig, want_color: bool
 
     out = lighting.where(~bg, V3(*rm.SKY_COLOR))
     return depth, out
+
+
+def _march_and_shade(sdf, ro: V3, rd: V3, cfg: rm.RenderConfig, want_color: bool):
+    """The per-tile computation (identical math to render/raymarch.py)."""
+    depth = ro.x * 0.0 + jnp.float32(cfg.near - 0.1)
+
+    def body(_, depth):
+        pos = ro + rd * depth
+        return depth + sdf.distance(pos)
+
+    n = cfg.depth_iterations
+    if not want_color:
+        return jax.lax.fori_loop(0, n, body, depth), None
+
+    depth = jax.lax.fori_loop(0, n - 1, body, depth)
+    return _final_shade(sdf, ro, rd, depth, cfg)
 
 
 def _flatten_params(sdf):
@@ -209,17 +219,20 @@ def _render_fused_impl(sdf, ro, rd, cfg, want_color):
 # ---------------------------------------------------------------------------
 
 
-def _rays_from_index(ivp_ref, cam_ref, width: int, height: int):
-    """Per-lane ray origin/direction from the flat pixel index.
+def _rays_from_scalars(ivp16, cam3, width: int, height: int, block_rows: int):
+    """Per-lane ray origin/direction from the flat pixel index, given the
+    inverse(view @ proj) matrix as a (16,) array and the camera position as a
+    (3,) array — plain jnp inputs so the backward kernel can jax.vjp through
+    ray generation to the view scalars.
 
     Identical math to utils/camera.camera_rays: NDC uses /(width-1) and
     /(height-1) denominators, y flipped so row 0 is the image top.
     """
     npix = width * height
     pid = pl.program_id(0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 1)
-    idx = (pid * BLOCK_ROWS + row) * 128 + lane
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_rows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, 128), 1)
+    idx = (pid * block_rows + row) * 128 + lane
     # Clamp padding lanes onto the last real pixel so their (discarded)
     # marches stay finite.
     idx = jnp.minimum(idx, npix - 1)
@@ -228,19 +241,26 @@ def _rays_from_index(ivp_ref, cam_ref, width: int, height: int):
     xf = -1.0 + 2.0 * px.astype(jnp.float32) / max(width - 1, 1)
     yf = 1.0 - 2.0 * py.astype(jnp.float32) / max(height - 1, 1)
 
-    m = [ivp_ref[0, k] for k in range(16)]  # inverse(view @ proj), row-major
+    m = [ivp16[k] for k in range(16)]  # inverse(view @ proj), row-major
     hx = xf * m[0] + yf * m[4] + m[12]
     hy = xf * m[1] + yf * m[5] + m[13]
     hz = xf * m[2] + yf * m[6] + m[14]
     hw = xf * m[3] + yf * m[7] + m[15]
     pos = V3(hx / hw, hy / hw, hz / hw)
     ro = V3(
-        jnp.broadcast_to(cam_ref[0, 0], (BLOCK_ROWS, 128)),
-        jnp.broadcast_to(cam_ref[0, 1], (BLOCK_ROWS, 128)),
-        jnp.broadcast_to(cam_ref[0, 2], (BLOCK_ROWS, 128)),
+        jnp.broadcast_to(cam3[0], (block_rows, 128)),
+        jnp.broadcast_to(cam3[1], (block_rows, 128)),
+        jnp.broadcast_to(cam3[2], (block_rows, 128)),
     )
     rd = (pos - ro).normalize()
     return ro, rd
+
+
+def _rays_from_index(ivp_ref, cam_ref, width: int, height: int):
+    """Ray generation from SMEM refs (forward-kernel entry)."""
+    ivp16 = jnp.stack([ivp_ref[0, k] for k in range(16)])
+    cam3 = jnp.stack([cam_ref[0, k] for k in range(3)])
+    return _rays_from_scalars(ivp16, cam3, width, height, BLOCK_ROWS)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
@@ -316,27 +336,233 @@ def _render_image_fused_impl(sdf, view, cfg, want_color):
     )
 
 
+# ---------------------------------------------------------------------------
+# Backward kernel: the pullback of the fused render, itself one Pallas kernel
+# per ray tile (SURVEY §7 hard part (b); VERDICT r1 item 1).
+#
+# Reverse mode through the 40-iteration march needs the pre-step depth of
+# every iteration. The jnp autodiff path materializes those as ~40 full-frame
+# HBM residuals (40 x 8.3 MB at 1080p, written forward and re-read backward).
+# Here the backward kernel REPLAYS the march per tile, storing the 39 pre-step
+# depths in a (39, BWD_BLOCK_ROWS, 128) VMEM scratch (~2.6 MB) that never
+# touches HBM, then runs:
+#   1. jax.vjp of the loop-free final step + shading (O(tile) residuals),
+#   2. a reverse fori_loop over the stored depths, each step a jax.vjp of a
+#      single SDF evaluation (recomputed fresh — O(tile) residuals),
+#   3. jax.vjp of in-kernel ray generation back to the 16+3 view scalars.
+# Parameter/view gradients are scalars accumulated across grid steps in an
+# SMEM output (grid steps run sequentially on TPU, so read-modify-write to a
+# revisited block is the standard accumulator pattern). Total HBM traffic of
+# the whole backward: the cotangent image in, 19 + n_params scalars out.
+# ---------------------------------------------------------------------------
+
+BWD_BLOCK_ROWS = 128  # 39-deep depth store = 39*128*128*4 B = 2.6 MB VMEM
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _pallas_render_image_bwd(params_smem, ivp, cam, g_packed, meta, cfg,
+                             want_color):
+    """Returns a (1, n_scalars) f32 array: concatenated cotangents for every
+    flattened sdf leaf, then the 16 ivp entries, then the 3 camera entries."""
+    treedef, shapes = meta
+    n_leaves = len(params_smem)
+    n_param_scalars = sum(
+        int(np.prod(s)) if s else 1 for s in shapes
+    )
+    n_out = n_param_scalars + 19
+    npix = cfg.width * cfg.height
+    tile = BWD_BLOCK_ROWS * 128
+    rows = ((npix + tile - 1) // tile) * BWD_BLOCK_ROWS
+    grid = (rows // BWD_BLOCK_ROWS,)
+    n = cfg.depth_iterations
+
+    def kernel(*refs):
+        leaf_refs = refs[:n_leaves]
+        ivp_ref, cam_ref = refs[n_leaves], refs[n_leaves + 1]
+        g_ref = refs[n_leaves + 2]
+        out_ref = refs[n_leaves + 3]
+        store_ref = refs[n_leaves + 4]  # VMEM (n_store, BR, 128) depth store
+
+        sdf = _rebuild(treedef, shapes, leaf_refs)
+        ivp16 = jnp.stack([ivp_ref[0, k] for k in range(16)])
+        cam3 = jnp.stack([cam_ref[0, k] for k in range(3)])
+
+        def rays_fn(ivp16, cam3):
+            ro, rd = _rays_from_scalars(
+                ivp16, cam3, cfg.width, cfg.height, BWD_BLOCK_ROWS
+            )
+            return ro.x, ro.y, ro.z, rd.x, rd.y, rd.z
+
+        rays, rays_vjp = jax.vjp(rays_fn, ivp16, cam3)
+        rox, roy, roz, rdx, rdy, rdz = rays
+        ro = V3(rox, roy, roz)
+        rd = V3(rdx, rdy, rdz)
+
+        # --- forward replay, storing pre-step depths in the VMEM scratch
+        #     (ref stores: Mosaic lowers dynamic ref indexing, but not
+        #     dynamic_update_slice on loop-carried values) ---
+        d0 = rox * 0.0 + jnp.float32(cfg.near - 0.1)
+
+        def fwd_body(i, depth):
+            store_ref[i] = depth
+            return depth + sdf.distance(ro + rd * depth)
+
+        d_last = jax.lax.fori_loop(0, n - 1, fwd_body, d0)
+
+        # --- final step (+ shading) pullback ---
+        if want_color:
+            def final_fn(sdf, rox, roy, roz, rdx, rdy, rdz, depth):
+                _, rgb = _final_shade(
+                    sdf, V3(rox, roy, roz), V3(rdx, rdy, rdz), depth, cfg
+                )
+                return rgb.x, rgb.y, rgb.z
+
+            ct = (g_ref[0], g_ref[1], g_ref[2])
+        else:
+            def final_fn(sdf, rox, roy, roz, rdx, rdy, rdz, depth):
+                ro = V3(rox, roy, roz)
+                rd = V3(rdx, rdy, rdz)
+                return depth + sdf.distance(ro + rd * depth)
+
+            ct = g_ref[...]
+        _, fvjp = jax.vjp(final_fn, sdf, rox, roy, roz, rdx, rdy, rdz, d_last)
+        g_sdf, g_rox, g_roy, g_roz, g_rdx, g_rdy, g_rdz, g_depth = fvjp(ct)
+
+        # --- reverse sweep over the march, one single-eval vjp per step ---
+        def step_fn(sdf, rox, roy, roz, rdx, rdy, rdz, depth):
+            ro = V3(rox, roy, roz)
+            rd = V3(rdx, rdy, rdz)
+            return depth + sdf.distance(ro + rd * depth)
+
+        def bwd_body(k, carry):
+            g_depth, g_sdf, g_rox, g_roy, g_roz, g_rdx, g_rdy, g_rdz = carry
+            i = n - 2 - k
+            d_i = store_ref[i]
+            _, svjp = jax.vjp(step_fn, sdf, rox, roy, roz, rdx, rdy, rdz, d_i)
+            gs, grx, gry, grz, gdx, gdy, gdz, g_depth = svjp(g_depth)
+            g_sdf = jax.tree_util.tree_map(jnp.add, g_sdf, gs)
+            return (g_depth, g_sdf, g_rox + grx, g_roy + gry, g_roz + grz,
+                    g_rdx + gdx, g_rdy + gdy, g_rdz + gdz)
+
+        carry = (g_depth, g_sdf, g_rox, g_roy, g_roz, g_rdx, g_rdy, g_rdz)
+        carry = jax.lax.fori_loop(0, n - 1, bwd_body, carry)
+        _, g_sdf, g_rox, g_roy, g_roz, g_rdx, g_rdy, g_rdz = carry
+
+        # --- ray-generation pullback to the view scalars ---
+        g_ivp16, g_cam3 = rays_vjp((g_rox, g_roy, g_roz, g_rdx, g_rdy, g_rdz))
+
+        # --- accumulate scalar gradients across grid steps (sequential) ---
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for j in range(n_out):
+                out_ref[0, j] = 0.0
+
+        j = 0
+        for leaf in jax.tree_util.tree_leaves(g_sdf):
+            flat = jnp.reshape(leaf, (-1,))
+            for t in range(flat.shape[0]):
+                out_ref[0, j] += flat[t]
+                j += 1
+        for k in range(16):
+            out_ref[0, j] += g_ivp16[k]
+            j += 1
+        for k in range(3):
+            out_ref[0, j] += g_cam3[k]
+            j += 1
+
+    if want_color:
+        g_spec = pl.BlockSpec(
+            (3, BWD_BLOCK_ROWS, 128), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        g_spec = pl.BlockSpec(
+            (BWD_BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_leaves + 2)
+        + [g_spec],
+        out_specs=pl.BlockSpec(
+            (1, n_out), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, n_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (max(n - 1, 1), BWD_BLOCK_ROWS, 128), jnp.float32
+            )
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(*params_smem, ivp, cam, g_packed)
+
+
+def _pack_cotangent(g, cfg, want_color):
+    """(H, W[, 3]) cotangent -> the padded tile layout of the bwd kernel.
+    Padding lanes get zero cotangent, so the duplicated marches the forward
+    kernel runs there contribute nothing."""
+    npix = cfg.width * cfg.height
+    tile = BWD_BLOCK_ROWS * 128
+    padded = ((npix + tile - 1) // tile) * tile
+    if want_color:
+        flat = jnp.stack(
+            [jnp.ravel(g[..., 0]), jnp.ravel(g[..., 1]), jnp.ravel(g[..., 2])]
+        )
+        flat = jnp.pad(flat, ((0, 0), (0, padded - npix)))
+        return flat.reshape(3, padded // 128, 128)
+    flat = jnp.pad(jnp.ravel(g), (0, padded - npix))
+    return flat.reshape(padded // 128, 128)
+
+
+def _view_to_ivp_cam(view, cfg):
+    """The host-side prep the forward does: view -> (ivp (1,16), cam (1,3))."""
+    from sdfkit_tpu.utils import camera as cam_mod
+
+    view = jnp.asarray(view, jnp.float32)
+    cam_tf = jnp.linalg.inv(view)
+    cam_pos = cam_tf[3, :3].reshape(1, 3)
+    proj = cam_mod.perspective_fov(
+        jnp.deg2rad(jnp.float32(cfg.vfov_degrees)),
+        cfg.width / cfg.height,
+        cfg.near,
+        cfg.far,
+    )
+    ivp = jnp.linalg.inv(view @ proj).reshape(1, 16)
+    return ivp, cam_pos
+
+
 def _image_fused_fwd(sdf, view, cfg, want_color):
     out = _render_image_fused_impl(sdf, view, cfg, want_color)
     return out, (sdf, view)
 
 
 def _image_fused_bwd(cfg, want_color, residuals, g):
-    """Backward replays the jnp path (same math) under autodiff."""
-    from sdfkit_tpu.utils.camera import camera_rays
-
+    """Backward = the Pallas pullback kernel above; only the 4x4 view-matrix
+    algebra (ivp/cam prep) is pulled back on the host."""
     sdf, view = residuals
+    params, treedef, shapes = _flatten_params(sdf)
+    (ivp, cam), prep_vjp = jax.vjp(
+        lambda v: _view_to_ivp_cam(v, cfg), jnp.asarray(view, jnp.float32)
+    )
+    g_packed = _pack_cotangent(jnp.asarray(g, jnp.float32), cfg, want_color)
+    out = _pallas_render_image_bwd(
+        params, ivp, cam, g_packed, (treedef, tuple(shapes)), cfg, want_color
+    )[0]
 
-    def fn(s, v):
-        ro, rd = camera_rays(
-            cfg.width, cfg.height, v, cfg.vfov_degrees, cfg.near, cfg.far
-        )
-        if want_color:
-            return rm.render_rays(s, ro, rd, cfg)
-        return rm.render_depth_rays(s, ro, rd, cfg)
-
-    _, vjp = jax.vjp(fn, sdf, view)
-    return vjp(g)
+    # Unpack the flat scalar cotangents back into the sdf pytree and view.
+    leaves = []
+    pos = 0
+    for s in shapes:
+        k = int(np.prod(s)) if s else 1
+        chunk = out[pos : pos + k]
+        leaves.append(chunk.reshape(s) if s else chunk[0])
+        pos += k
+    g_sdf = jax.tree_util.tree_unflatten(treedef, leaves)
+    g_ivp = out[pos : pos + 16].reshape(1, 16)
+    g_cam = out[pos + 16 : pos + 19].reshape(1, 3)
+    (g_view,) = prep_vjp((g_ivp, g_cam))
+    return g_sdf, g_view
 
 
 _render_image_fused_impl.defvjp(_image_fused_fwd, _image_fused_bwd)
