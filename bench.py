@@ -146,6 +146,85 @@ def bench_render(rtt: float) -> dict:
     }
 
 
+# TPU v5e (reported as "TPU v5 lite") public peaks, used for the roofline:
+# HBM bandwidth 819 GB/s; VPU = one (8, 128) vector unit with 4 ALUs per lane
+# at ~940 MHz => 8*128*4*0.94e9 ~= 3.85e12 f32 ops/s (counting each add/mul
+# as 1 op, matching XLA's cost-analysis flop counting). MXU peaks are
+# irrelevant here: sphere tracing is pure elementwise VPU work, no matmuls.
+V5E_HBM_BYTES_PER_S = 819e9
+V5E_VPU_F32_OPS_PER_S = 3.85e12
+
+
+def bench_roofline(render_extra: dict) -> dict:
+    """Roofline/MFU analysis of the 1080p render (VERDICT r1 item 2): is the
+    chosen backend at the hardware bound, and which bound is it?
+
+    FLOPs come from XLA's own cost analysis, counted analytically because
+    cost_analysis counts a while-loop body ONCE regardless of trip count:
+    one march step over the full frame is compiled standalone and multiplied
+    by the 39 accumulate-only iterations, plus the loop-free final step
+    (last eval + 6 gradient taps + normalize + Lambert) compiled standalone.
+
+    The HBM floor is the frame buffer alone (the fused kernel's true traffic;
+    the jnp path's ray/depth loop buffers fit in VMEM at 1080p — ro+rd+depth
+    = 58 MB against the 128 MB VMEM — so XLA needn't spill them per
+    iteration). At 25 MB vs 819 GB/s the memory light-speed is ~0.03 ms
+    against a ~1.5 ms compute light-speed: the workload is compute-bound by
+    ~50x, so the only number that matters is VPU utilization.
+
+    VPU utilization is an UNDERESTIMATE of true occupancy: XLA's flop count
+    excludes compare/select/floor/min/max lane ops, which sphere tracing with
+    domain repetition spends heavily (every repeat is a floor-mod, every
+    union a compare+select, the sky mask a select), and transcendentals
+    (rsqrt in every normalize) run below the 4-ops/lane rate.
+    """
+    from sdfkit_tpu.render.raymarch import RenderConfig
+    from sdfkit_tpu.render.pallas.raymarch_kernel import _final_shade
+    from sdfkit_tpu.utils.camera import camera_rays
+
+    scene = sphere_repeat_scene()
+    view = sk.look_at((-2.0, 2.0, 4.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT)
+    ro, rd = camera_rays(WIDTH, HEIGHT, view, cfg.vfov_degrees, cfg.near, cfg.far)
+    depth = ro.x * 0.0 + jnp.float32(1.0)
+
+    def _flops(fn, *args) -> float:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):  # older jaxlibs return [dict]
+            ca = ca[0]
+        return float(ca["flops"])
+
+    def step(scene, ro, rd, depth):
+        return depth + scene.distance(ro + rd * depth)
+
+    def shade(scene, ro, rd, depth):
+        d, rgb = _final_shade(scene, ro, rd, depth, cfg)
+        return d, rgb.x, rgb.y, rgb.z
+
+    step_flops = _flops(step, scene, ro, rd, depth)
+    shade_flops = _flops(shade, scene, ro, rd, depth)
+    frame_flops = (cfg.depth_iterations - 1) * step_flops + shade_flops
+    frame_out_bytes = WIDTH * HEIGHT * 3 * 4  # the (H, W, 3) f32 image
+
+    ms_compute = frame_flops / V5E_VPU_F32_OPS_PER_S * 1e3
+    ms_memory = frame_out_bytes / V5E_HBM_BYTES_PER_S * 1e3
+    lightspeed_ms = max(ms_compute, ms_memory)
+
+    out = {
+        "frame_gflops": round(frame_flops / 1e9, 3),
+        "hbm_floor_mb": round(frame_out_bytes / 1e6, 1),
+        "lightspeed_ms_compute": round(ms_compute, 3),
+        "lightspeed_ms_memory": round(ms_memory, 3),
+        "bound": "compute" if ms_compute > ms_memory else "memory",
+    }
+    for name in ("jnp", "fused"):
+        ms = render_extra.get(f"render_ms_{name}")
+        if ms:
+            out[f"vpu_tflops_{name}"] = round(frame_flops / (ms / 1e3) / 1e12, 3)
+            out[f"vpu_util_pct_{name}"] = round(100.0 * lightspeed_ms / ms, 1)
+    return out
+
+
 def bench_voxels(rtt: float, n: int = 256, chain: int = 64) -> dict:
     # Longer chain than the render bench: a 256^3 sweep is ~2ms on-device,
     # so it needs ~64 chained repetitions to rise above the tunnel RTT floor.
@@ -373,6 +452,7 @@ def main():
     )
     with trace:
         result = bench_render(rtt)
+        result["extra"]["roofline"] = bench_roofline(result["extra"])
         vox = bench_voxels(rtt)
         mesh = bench_mesh()
         grad = bench_grad(rtt)

@@ -186,10 +186,16 @@ class RayMarcher:
         """backend: 'fused' = Pallas kernel (in-kernel ray generation, zero
         ray HBM traffic), 'jnp' = pure-jnp path, 'auto' = currently the jnp
         path everywhere — measured on v5e the XLA-fused fori_loop march
-        (2.54 ms @1080p) edges out the Pallas kernel (2.76 ms); both are
-        ~8x the 100 Mrays/s target. The kernel remains available for
-        workloads where keeping the march VMEM-resident wins (see bench.py
-        extra fields)."""
+        (2.64 ms @1080p) edges out the Pallas kernel (3.07 ms); both are
+        ~8x the 100 Mrays/s target. Roofline (bench.py bench_roofline, XLA
+        cost-analysis flop counts): the frame is 5.63 GFLOP vs a 25 MB HBM
+        floor — compute-bound by ~50x — and the jnp path sustains ~2.1
+        VPU TFLOP/s, ~55% of the 3.85 TFLOP/s f32 peak counting only
+        XLA-counted flops (compare/select/floor lane ops and rsqrt
+        transcendentals, which sphere tracing spends heavily, occupy the
+        remaining slots). XLA is already at the hardware bound here; the
+        kernel remains available for workloads where keeping the march
+        VMEM-resident wins (see bench.py extra fields)."""
         if backend == "auto":
             backend = "jnp"
         if backend not in ("fused", "jnp"):
