@@ -97,10 +97,28 @@ def _march_and_shade(sdf, ro: V3, rd: V3, cfg: rm.RenderConfig, want_color: bool
     return _final_shade(sdf, ro, rd, depth, cfg)
 
 
+# The SMEM rebuild (_rebuild below) emits one scalar load per parameter
+# element, once per grid step. That is free for hand-built scenes (tens of
+# scalars) but a fitted CSG tree with thousands of leaves would bloat the
+# Mosaic kernel body and press the few-KB SMEM budget, so the fused backend
+# refuses oversized trees instead of silently compiling a bad kernel. 1024
+# scalars = 4 KB of SMEM and ~1024 trace-time loads — comfortably compiled;
+# beyond that the jnp backend (which scales to any tree) is the right tool.
+MAX_FUSED_PARAM_SCALARS = 1024
+
+
 def _flatten_params(sdf):
     """Pytree leaves -> SMEM-shaped (1, size) f32 arrays + rebuild info."""
     leaves, treedef = jax.tree_util.tree_flatten(sdf)
     shapes = [jnp.shape(l) for l in leaves]
+    total = sum(int(np.prod(s)) if s else 1 for s in shapes)
+    if total > MAX_FUSED_PARAM_SCALARS:
+        raise ValueError(
+            f"scene has {total} parameter scalars; the fused Pallas backend "
+            f"rebuilds each from SMEM and is capped at "
+            f"{MAX_FUSED_PARAM_SCALARS} — use backend='jnp' for large "
+            f"(e.g. fitted) scene trees"
+        )
     smem = [jnp.asarray(l, jnp.float32).reshape(1, -1) for l in leaves]
     return smem, treedef, shapes
 

@@ -61,6 +61,29 @@ class TestFusedParity:
         assert np.median(np.abs(ij - iff)) < 1e-6
 
 
+class TestFusedParamCap:
+    def test_oversized_tree_raises_with_jnp_hint(self):
+        # The fused backend rebuilds every parameter scalar from SMEM, so it
+        # refuses trees past MAX_FUSED_PARAM_SCALARS instead of compiling a
+        # bloated kernel; the error must point at backend='jnp'.
+        import pytest
+
+        from sdfkit_tpu.render.pallas import raymarch_kernel as rk
+
+        # Balanced union of 200 translated spheres: 200 x (radius + rgb +
+        # 3 offsets) = 1400 scalars > the 1024 cap, at O(log n) tree depth.
+        prims = [sk.sphere(1.0).translate(float(i), 0.0, 0.0) for i in range(200)]
+        while len(prims) > 1:
+            paired = [a | b for a, b in zip(prims[::2], prims[1::2])]
+            prims = paired + (prims[-1:] if len(prims) % 2 else [])
+        s = prims[0]
+        with pytest.raises(ValueError, match="backend='jnp'"):
+            sk.RayMarcher(8, 8, s, backend="fused").render_depth()
+        # The jnp backend accepts the same tree.
+        d = np.asarray(sk.RayMarcher(8, 8, s, backend="jnp").render_depth())
+        assert np.all(np.isfinite(d))
+
+
 class TestFusedGradients:
     def test_grad_finite_and_close_to_jnp(self):
         def loss(r, backend):
