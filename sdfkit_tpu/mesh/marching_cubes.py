@@ -430,6 +430,16 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     # subtraction of two f32 values is exact.
     v8 = np.concatenate(v8_parts, axis=1).astype(np.float64) - iso
     c8 = np.concatenate(c8_parts, axis=1).astype(np.float64)
+    return _sparse_phase(voxels, active, case_index, v8, c8, step, lx, ly)
+
+
+def _sparse_phase(voxels, active, case_index, v8, c8, step: int, lx: int,
+                  ly: int) -> Mesh:
+    """Host sparse phase: case dispatch, vertex welding, interpolation,
+    gradient normals, world transform. ``active`` are flat (z, y, x)-ordered
+    visited-cell indices; ``v8``/``c8`` are iso-subtracted f64 corner values
+    and f64 corner colors in MC corner numbering, shape (8, m[, 3])."""
+    nx, ny, nz = np.shape(voxels.values)
 
     casenum = luts.cases[case_index, 0].astype(np.int64)
     config = luts.cases[case_index, 1].astype(np.int64)

@@ -86,6 +86,60 @@ class TestVoxelizeSharded:
         )
 
 
+class TestMeshSharded:
+    """Sharded marching-cubes dense phase: z-bricks + step-layer ppermute
+    halo exchange (parallel/marching.py). The sparse phase is shared with
+    the single-device path, so the mesh must be BIT-identical for any device
+    count — the meshing determinism guarantee SURVEY §5 asks for."""
+
+    def _assert_same_mesh(self, a, b):
+        np.testing.assert_array_equal(a.vertices, b.vertices)
+        np.testing.assert_array_equal(a.colors, b.colors)
+        np.testing.assert_array_equal(a.normals, b.normals)
+        np.testing.assert_array_equal(a.triangles, b.triangles)
+
+    def test_bit_identical_across_device_counts(self, mesh):
+        from sdfkit_tpu.parallel.marching import create_mesh_sharded
+
+        s = scene()
+        v = sk.voxelize(s, (-1.2, -1.2, -1.2), (1.2, 1.2, 1.2), 24, 24, 24)
+        m1 = v.to_mesh()
+        assert len(m1.vertices) > 0
+        for count in (1, 2, 8):
+            sub = Mesh(np.array(jax.devices()[:count]), axis_names=("rays",))
+            m_n = create_mesh_sharded(sub, v)
+            self._assert_same_mesh(m1, m_n)
+
+    def test_golden_sphere_count(self, mesh):
+        # The reference golden: sphere r=0.5 in 32^3 => 1248 vertices
+        # (Tests/SdfTests.cs:29-39) must survive brick seams and halos.
+        from sdfkit_tpu.parallel.marching import create_mesh_sharded
+
+        v = sk.voxelize(sk.sphere(0.5), (-1, -1, -1), (1, 1, 1), 32, 32, 32)
+        m = create_mesh_sharded(mesh, v)
+        assert len(m.vertices) == 1248
+
+    def test_uneven_extent_and_step2(self, mesh):
+        # nz=21 with step=2: bricks cover uneven cell counts and the last
+        # brick needs the host-supplied tail halo.
+        from sdfkit_tpu.parallel.marching import create_mesh_sharded
+
+        v = sk.voxelize(sk.sphere(2.0), (-2.5,) * 3, (2.5,) * 3, 21, 21, 21)
+        m1 = v.to_mesh(step=2)
+        m8 = create_mesh_sharded(mesh, v, step=2)
+        assert len(m1.vertices) > 0
+        self._assert_same_mesh(m1, m8)
+
+    def test_progress_and_empty(self, mesh):
+        from sdfkit_tpu.parallel.marching import create_mesh_sharded
+
+        v = sk.voxelize(sk.sphere(0.1), (1, 1, 1), (2, 2, 2), 8, 8, 8)
+        seen = []
+        m = create_mesh_sharded(mesh, v, progress=seen.append)
+        assert len(m.vertices) == 0
+        assert seen[0] == 0.0 and seen[-1] == 1.0
+
+
 class TestTrainStepSharded:
     def test_step_reduces_loss(self, mesh):
         s = sk.sphere(1.0, color=(0.5, 0.5, 0.5))
