@@ -51,6 +51,45 @@ def _fit_step(optimizer, cfg, sdf, opt_state, target, ro, rd):
     return sdf, opt_state, loss
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _fit_step_fused(optimizer, cfg, sdf, opt_state, target, view):
+    """Fit step through the fused Pallas kernels: forward = the image-level
+    sphere-trace kernel, backward = the in-VMEM march-replay pullback kernel
+    (render/pallas/raymarch_kernel.py) — measured 5.6x faster per grad step
+    than XLA autodiff through the fori_loop march at 1080p on v5e
+    (bench.py grad_ms_fused vs grad_ms_jnp)."""
+    from sdfkit_tpu.render.pallas.raymarch_kernel import render_image_fused
+
+    def loss_fn(sdf):
+        img = render_image_fused(sdf, view, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(sdf)
+    updates, opt_state = optimizer.update(grads, opt_state, sdf)
+    sdf = optax.apply_updates(sdf, updates)
+    return sdf, opt_state, loss
+
+
+def _pick_fit_backend(backend: str, sdf) -> str:
+    if backend != "auto":
+        if backend not in ("fused", "jnp"):
+            raise ValueError(f"unknown backend {backend!r}")
+        return backend
+    from sdfkit_tpu.render.pallas.raymarch_kernel import (
+        MAX_FUSED_PARAM_SCALARS,
+    )
+
+    n_scalars = sum(
+        int(jnp.size(l)) for l in jax.tree_util.tree_leaves(sdf)
+    )
+    # The Pallas backward wins on TPU; on CPU the kernels run in interpret
+    # mode and XLA autodiff is far faster. Oversized trees exceed the fused
+    # backend's SMEM parameter cap.
+    if jax.default_backend() == "cpu" or n_scalars > MAX_FUSED_PARAM_SCALARS:
+        return "jnp"
+    return "fused"
+
+
 def fit(
     sdf,
     target,
@@ -61,6 +100,7 @@ def fit(
     checkpoint_dir=None,
     checkpoint_every: int = 50,
     progress: Callable[[int, float], None] | None = None,
+    backend: str = "auto",
     **cfg_kwargs,
 ) -> FitResult:
     """Fit ``sdf``'s parameters so its render matches ``target`` (H, W, 3).
@@ -68,6 +108,11 @@ def fit(
     Returns a FitResult with the fitted SdfExpr and per-step losses. If
     ``checkpoint_dir`` is given, training state is checkpointed there and a
     later call with the same directory resumes from the latest saved step.
+
+    ``backend``: 'fused' differentiates through the Pallas forward+backward
+    kernels (5.6x faster per step on TPU), 'jnp' uses XLA autodiff through
+    the pure-jnp renderer, 'auto' picks 'fused' on TPU for scenes within the
+    fused parameter cap and 'jnp' otherwise.
     """
     target = jnp.asarray(target, jnp.float32)
     height, width = target.shape[:2]
@@ -95,11 +140,17 @@ def fit(
             sdf, opt_state = _restore(manager, latest, (sdf, opt_state))
             start_step, resumed_from = latest, latest
 
+    backend = _pick_fit_backend(backend, sdf)
     losses: list[float] = []
     for step in range(start_step, steps):
-        sdf, opt_state, loss = _fit_step(
-            optimizer, cfg, sdf, opt_state, target, ro, rd
-        )
+        if backend == "fused":
+            sdf, opt_state, loss = _fit_step_fused(
+                optimizer, cfg, sdf, opt_state, target, view
+            )
+        else:
+            sdf, opt_state, loss = _fit_step(
+                optimizer, cfg, sdf, opt_state, target, ro, rd
+            )
         loss = float(loss)
         losses.append(loss)
         if progress is not None:

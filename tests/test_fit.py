@@ -28,6 +28,28 @@ class TestFit:
             np.asarray(res.sdf.rgb), [0.8, 0.3, 0.2], atol=0.05
         )
 
+    def test_fused_backend_descends_like_jnp(self):
+        # backend='fused' routes every step through the Pallas forward +
+        # in-VMEM backward kernels (interpret mode here); a few steps must
+        # track the jnp path closely.
+        tgt = target_image()
+        rj = fit(start_sdf(), tgt, steps=5, learning_rate=0.02, backend="jnp")
+        rf = fit(start_sdf(), tgt, steps=5, learning_rate=0.02, backend="fused")
+        assert rf.losses[-1] < rf.losses[0]
+        np.testing.assert_allclose(rf.losses, rj.losses, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(
+            float(rf.sdf.radius), float(rj.sdf.radius), rtol=1e-3
+        )
+
+    def test_auto_backend_picks_jnp_on_cpu(self):
+        from sdfkit_tpu.fit import _pick_fit_backend
+
+        assert _pick_fit_backend("auto", start_sdf()) == "jnp"  # cpu tests
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown backend"):
+            _pick_fit_backend("bogus", start_sdf())
+
     def test_progress_callback(self):
         seen = []
         fit(start_sdf(), target_image(), steps=3, progress=lambda s, l: seen.append(s))
