@@ -421,19 +421,30 @@ def bench_scaling(rtt: float, out_path: str = "SCALING.json") -> dict:
 
 def bench_mesh(n: int = 256) -> dict:
     """End-to-end to_mesh wall-clock at n^3: device voxelize + on-device
-    classify/compact/corner-gather (O(surface) transfer) + host sparse phase
-    (dispatch, welding, normals). One timed run after a warmup run that pays
-    the jit compiles."""
+    classify/compact/corner-gather (O(surface) transfer, async-overlapped
+    with the host work) + host sparse phase (dispatch, welding, normals) +
+    on-device color interpolation. Min of LOOPS timed runs after a warmup
+    run that pays the jit compiles, with the per-phase split of the best run
+    (the host is 2 cores and the tunnel jitters by 100s of ms, so single-run
+    numbers are noise)."""
+    from sdfkit_tpu.mesh import marching_cubes as _mc
+
     scene = sphere_repeat_scene()
     v = sk.voxelize(scene, (-2.0,) * 3, (2.0,) * 3, n, n, n)
     float(jnp.sum(v.values))  # sync: grid resident on device before timing
-    v.to_mesh()  # warmup: compiles the classify/gather kernels
-    t0 = time.perf_counter()
-    m = v.to_mesh()
-    dt = time.perf_counter() - t0
+    v.to_mesh()  # warmup: compiles the classify/gather/color kernels
+    best, best_split, m = None, None, None
+    for _ in range(LOOPS):
+        t0 = time.perf_counter()
+        m = v.to_mesh()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+            best_split = {k: round(x, 1) for k, x in _mc.LAST_TIMINGS.items()}
     return {
-        f"mesh_{n}^3_ms": round(dt * 1e3, 1),
+        f"mesh_{n}^3_ms": round(best * 1e3, 1),
         f"mesh_{n}^3_vertices": len(m.vertices),
+        f"mesh_{n}^3_phase_ms": best_split,
     }
 
 

@@ -93,6 +93,21 @@ KEY_OY = np.array([0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1, 1, 0], np.int8)
 KEY_OZ = np.array([0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0, 0], np.int8)
 KEY_J = np.array([0, 1, 0, 1, 0, 1, 0, 1, 2, 2, 2, 2, 3], np.int8)
 
+# Edge endpoint tables, derived once from edgesrel*: per edge index 0..11,
+# the packed offset (dz*4 + dy*2 + dx, Cell.cs:318-319) and the MC corner
+# index of each endpoint. The sparse phase's gradient pass indexes the
+# MC-numbered per-cell gradients by the PACKED offset — reproducing the
+# reference's vg indexing quirk (Cell.cs:314-333) — and the endpoint values
+# by MC corner.
+EDGE_P1 = (
+    edgesrelz[:, 0].astype(np.int64) * 4 + edgesrely[:, 0] * 2 + edgesrelx[:, 0]
+)
+EDGE_P2 = (
+    edgesrelz[:, 1].astype(np.int64) * 4 + edgesrely[:, 1] * 2 + edgesrelx[:, 1]
+)
+EDGE_MC1 = OFFSET_TO_MC[EDGE_P1].astype(np.int64)
+EDGE_MC2 = OFFSET_TO_MC[EDGE_P2].astype(np.int64)
+
 # TestFace corner quads A,B,C,D per |face| 1..6 (MarchingCubes.cs:384-398),
 # index 0 unused.
 FACE_CORNERS = np.array(

@@ -54,7 +54,7 @@ def _classify_slab(values, iso, z0_grid, step: int, lx: int, ly: int, m: int):
     matching the reference's ``v - iso > 0`` computed in double (f32→f64 is
     lossless and the f64 subtraction of two f32 values is exact).
 
-    Returns (case bytes flat in (z, y, x) cell order, active mask, count).
+    Returns (case bytes flat in (z, y, x) cell order, active mask).
     """
     nx, ny, nz = values.shape
     zext = m * step + 1  # corners reach z0 + (m-1)*step + step
@@ -73,39 +73,87 @@ def _classify_slab(values, iso, z0_grid, step: int, lx: int, ly: int, m: int):
         )  # (lx, ly, m): value at corner k of every cell in the slab
         bits = bits + jnp.uint8(1 << k) * (corner > iso).astype(jnp.uint8)
     bits = bits.transpose(2, 1, 0).reshape(-1)  # reference (z, y, x) order
-    casenum = jnp.asarray(luts.cases[:, 0], jnp.int32)[bits.astype(jnp.int32)]
-    mask = casenum > 0
-    return bits, mask, jnp.sum(mask.astype(jnp.int32))
+    # A cell is active iff its corner signs are mixed — case 0 corresponds to
+    # bits 0 and 255 exactly (luts.cases[:,0]==0 there and only there), so
+    # the mask is two compares instead of a 16.7M-element LUT gather (which
+    # dominated this kernel's runtime on TPU).
+    mask = (bits != jnp.uint8(0)) & (bits != jnp.uint8(255))
+    return bits, mask
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _gather_slab(values, colors, bits, mask, z0_grid, step: int, lx: int,
-                 ly: int, size: int):
-    """Compaction + corner gather (on device): active-cell flat indices
-    (slab-local, (z, y, x) order), their case bytes, 8 corner values (8, size)
-    and 8 corner colors (8, size, 3). ``size`` is a static power-of-two bucket
-    >= the true count; callers slice to the count on host."""
-    idx = jnp.nonzero(mask, size=size, fill_value=0)[0]
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _gather_all(values, bits, mask, step: int, lx: int, ly: int, size: int):
+    """Compaction + corner gather (on device) over the WHOLE volume in one
+    dispatch: active-cell flat indices ((z, y, x) order), their case bytes
+    and 8 corner values (8, size). ``size`` is a static bucket >= the true
+    count (multiples of 32768 — callers fetch the whole bucket and trim on
+    host, so at most ~1.3 MB of padding ever crosses the link).
+
+    Compaction is cumsum + searchsorted (the j-th active cell is the first
+    index whose running count reaches j+1) — 2x faster on TPU than
+    jnp.nonzero's scatter, and the corner reads are 1-D flat-index takes,
+    which XLA lowers far better than 3-D coordinate gathers (~6x). Corner
+    colors are NOT gathered — vertex colors are interpolated on device from
+    the resident color grid after welding (see _sparse_phase), which removes
+    the dominant device→host transfer entirely."""
+    nx, ny, nz = values.shape
+    vflat = values.reshape(-1)
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    targets = jnp.arange(1, size + 1, dtype=jnp.int32)
+    idx = jnp.minimum(
+        jnp.searchsorted(csum, targets, side="left"), csum.shape[0] - 1
+    ).astype(jnp.int32)
     cx = (idx % lx) * step
     cy = ((idx // lx) % ly) * step
-    cz = z0_grid + (idx // (lx * ly)) * step
+    cz = (idx // (lx * ly)) * step
+    base = (cx * ny + cy) * nz + cz
     v8 = jnp.stack(
         [
-            values[cx + step * int(luts.CORNER_DX[k]),
-                   cy + step * int(luts.CORNER_DY[k]),
-                   cz + step * int(luts.CORNER_DZ[k])]
+            jnp.take(
+                vflat,
+                base
+                + (
+                    (int(luts.CORNER_DX[k]) * ny + int(luts.CORNER_DY[k])) * nz
+                    + int(luts.CORNER_DZ[k])
+                )
+                * step,
+            )
             for k in range(8)
         ]
     )
-    c8 = jnp.stack(
-        [
-            colors[cx + step * int(luts.CORNER_DX[k]),
-                   cy + step * int(luts.CORNER_DY[k]),
-                   cz + step * int(luts.CORNER_DZ[k]), :]
-            for k in range(8)
-        ]
+    return idx, jnp.take(bits, idx), v8
+
+
+def _fetch_bucket(count: int) -> int:
+    """Static gather/fetch bucket: the true count rounded up to 32768. Bounds
+    the number of distinct jit shapes without padding transfers by more than
+    ~1.3 MB."""
+    return -(-count // 32768) * 32768
+
+
+@jax.jit
+def _edge_vertex_colors(colors_flat, i1, i2, w1):
+    """Vertex colors for edge vertices, on device: gather the two endpoint
+    colors from the flat (nx*ny*nz, 3) color grid and blend with the host-
+    computed inverse-|value| weight (Cell.AddFaceFromEdgeIndex color
+    interpolation, Cell.cs:298-311; w2 = 1 - w1 up to one f32 ulp)."""
+    w = w1[:, None]
+    return jnp.take(colors_flat, i1, axis=0) * w + jnp.take(
+        colors_flat, i2, axis=0
+    ) * (1.0 - w)
+
+
+@jax.jit
+def _center_vertex_colors(colors_flat, base, deltas, w8):
+    """Vertex colors for center (v12) vertices, on device: 8-corner weighted
+    blend (Cell.CalculateCenterVertex, Cell.cs:501-549). ``base`` are cell-
+    origin flat grid ids, ``deltas`` the 8 corner flat-id offsets, ``w8`` the
+    host-computed normalized strengths."""
+    ids = base[:, None] + deltas[None, :]
+    c = jnp.take(colors_flat, ids.reshape(-1), axis=0).reshape(
+        base.shape[0], 8, 3
     )
-    return idx, bits[idx], v8, c8
+    return jnp.sum(c * w8[:, :, None], axis=1)
 
 
 def _test_face(face, v8):
@@ -344,20 +392,32 @@ def _dispatch(casenum, config, v8):
 
 def _corner_gradients(v8):
     """Per-cell corner gradients vg (Cell.PrepareForAddingTriangles,
-    Cell.cs:486-498), MC corner numbering, shape (8, 3, m)."""
-    v0, v1, v2, v3, v4, v5, v6, v7 = v8
+    Cell.cs:486-498), MC corner numbering, shape (8, m, 3) float32 —
+    corner-major with contiguous xyz so the per-stream gather in the normal
+    pass is one cache-friendly fancy index. Differences are taken in f32 —
+    identical to rounding the f64 difference for corner values that are
+    themselves exact f32 sums, and half the memory traffic."""
+    v0, v1, v2, v3, v4, v5, v6, v7 = v8.astype(np.float32)
     gx = np.stack([v0 - v1, v0 - v1, v3 - v2, v3 - v2, v4 - v5, v4 - v5,
                    v7 - v6, v7 - v6])
     gy = np.stack([v0 - v3, v1 - v2, v1 - v2, v0 - v3, v4 - v7, v5 - v6,
                    v5 - v6, v4 - v7])
     gz = np.stack([v0 - v4, v1 - v5, v2 - v6, v3 - v7, v0 - v4, v1 - v5,
                    v2 - v6, v3 - v7])
-    return np.stack([gx, gy, gz], axis=1)  # (8, 3, m)
+    return np.stack([gx, gy, gz], axis=2)  # (8, m, 3) f32
+
+
+# Wall-clock of the last create_mesh call, split by phase (ms). Published by
+# bench.py; the reference has no equivalent (its meshing is one sequential
+# loop, MarchingCubes.cs:53-80).
+LAST_TIMINGS: dict = {}
 
 
 def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     """Extract the iso-surface mesh (MarchingCubes.CreateMesh,
     MarchingCubes.cs:39-92)."""
+    import time as _time
+
     # iso quantized to f32 so the device classification predicate
     # (f32 compare) and the host sparse phase (f64 subtraction of two exact
     # f32 values) see identical signs.
@@ -386,61 +446,72 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
             progress(1.0)
         return mesh
 
-    # --- dense phase ON DEVICE, one z-slab at a time: classify every cell,
-    #     compact the active ones, gather their corner values/colors. Only
-    #     O(surface) bytes cross to the host. Progress fires per slab while
-    #     the sweep is still running (the reference reports once per z layer
-    #     inside its loop, MarchingCubes.cs:81; same values, slab-grained). ---
+    # --- dense phase ON DEVICE, one z-slab classify at a time (all device-
+    #     resident, no per-slab syncs), then ONE compaction + corner gather
+    #     over the whole volume. Only O(surface) bytes cross to the host, and
+    #     only the true count (no bucket padding) is ever transferred.
+    #     Progress fires per slab during the sweep (the reference reports
+    #     once per z layer inside its loop, MarchingCubes.cs:81). ---
+    t0 = _time.perf_counter()
     lx, ly, lz = xs.size, ys.size, zs.size
     slab = max(1, -(-lz // N_PROGRESS_SLABS))
     iso32 = jnp.float32(iso)
-    idx_parts, case_parts, v8_parts, c8_parts = [], [], [], []
+    bits_parts, mask_parts = [], []
     for s0 in range(0, lz, slab):
         m = min(slab, lz - s0)
-        z0 = s0 * step
-        bits, mask, count = _classify_slab(
-            values_dev, iso32, z0, step, lx, ly, m
+        bits, mask = _classify_slab(
+            values_dev, iso32, s0 * step, step, lx, ly, m
         )
-        count = int(count)
-        if count:
-            # Power-of-two size buckets bound jit recompiles.
-            size = 1 << max(count - 1, 0).bit_length()
-            li, lb, lv, lc = _gather_slab(
-                values_dev, colors_dev, bits, mask, z0, step, lx, ly, size
-            )
-            idx_parts.append(np.asarray(li[:count], np.int64) + s0 * lx * ly)
-            case_parts.append(np.asarray(lb[:count]))
-            v8_parts.append(np.asarray(lv[:, :count]))
-            c8_parts.append(np.asarray(lc[:, :count]))
+        bits_parts.append(bits)
+        mask_parts.append(mask)
         if progress is not None:
             for z in zs[s0 : s0 + m]:
                 progress(float(z) / nz_bound)
+    bits_all = jnp.concatenate(bits_parts) if len(bits_parts) > 1 else bits_parts[0]
+    mask_all = jnp.concatenate(mask_parts) if len(mask_parts) > 1 else mask_parts[0]
+    count = int(jnp.sum(mask_all.astype(jnp.int32)))  # the ONE dense-phase sync
+    LAST_TIMINGS.clear()
+    LAST_TIMINGS["dense_classify_ms"] = (_time.perf_counter() - t0) * 1e3
 
-    if not idx_parts:
+    if count == 0:
         return Mesh(
             np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0)
         )
 
-    # Sparse phase on host: everything below is O(surface cells).
-    active = np.concatenate(idx_parts)
-    case_index = np.concatenate(case_parts).astype(np.int64)
-    # Iso-subtracted corner values in float64 — the only precision the
-    # ambiguity tests and interpolation ever see, as in the reference's
-    # double-typed Cell (Cell.cs:191-233). f32→f64 is lossless and the f64
-    # subtraction of two f32 values is exact.
-    v8 = np.concatenate(v8_parts, axis=1).astype(np.float64) - iso
-    c8 = np.concatenate(c8_parts, axis=1).astype(np.float64)
-    return _sparse_phase(voxels, active, case_index, v8, c8, step, lx, ly)
+    t0 = _time.perf_counter()
+    size = _fetch_bucket(count)
+    idx, case8, v8 = _gather_all(values_dev, bits_all, mask_all, step, lx, ly, size)
+    # Start all host copies now; the small ones are consumed immediately, the
+    # 8-corner values stream over the link WHILE the host computes cell
+    # coordinates and case/config (see _sparse_phase).
+    idx.copy_to_host_async()
+    case8.copy_to_host_async()
+    v8.copy_to_host_async()
+    active = np.asarray(idx)[:count].astype(np.int64)
+    case_index = np.asarray(case8)[:count].astype(np.int64)
+    LAST_TIMINGS["gather_fetch_ms"] = (_time.perf_counter() - t0) * 1e3
+
+    return _sparse_phase(
+        voxels, active, case_index, (v8, count), colors_dev, step, lx, ly, iso
+    )
 
 
-def _sparse_phase(voxels, active, case_index, v8, c8, step: int, lx: int,
-                  ly: int) -> Mesh:
+def _sparse_phase(voxels, active, case_index, v8, colors, step: int, lx: int,
+                  ly: int, iso: float = 0.0) -> Mesh:
     """Host sparse phase: case dispatch, vertex welding, interpolation,
     gradient normals, world transform. ``active`` are flat (z, y, x)-ordered
-    visited-cell indices; ``v8``/``c8`` are iso-subtracted f64 corner values
-    and f64 corner colors in MC corner numbering, shape (8, m[, 3])."""
+    visited-cell indices; ``v8`` are f32 corner values in MC corner numbering
+    (8, m) — either a host array, or a ``(device_array, count)`` pair whose
+    host copy is already streaming (create_mesh starts it async so the prep
+    below overlaps the transfer). Vertex COLORS are interpolated on device
+    straight from ``colors``, the resident (nx, ny, nz, 3) grid — only the
+    final (n_verts, 3) result crosses the link, and its fetch overlaps the
+    host gradient pass."""
+    import time as _time
+
     nx, ny, nz = np.shape(voxels.values)
 
+    t0 = _time.perf_counter()
     casenum = luts.cases[case_index, 0].astype(np.int64)
     config = luts.cases[case_index, 1].astype(np.int64)
 
@@ -449,12 +520,24 @@ def _sparse_phase(voxels, active, case_index, v8, c8, step: int, lx: int,
     acy = ((active // lx) % ly) * step
     acz = (active // (lx * ly)) * step
 
+    # Materialize the corner values, blocking on the async device copy if it
+    # is still streaming. Iso-subtracted in float64 — the only precision the
+    # ambiguity tests and interpolation ever see, as in the reference's
+    # double-typed Cell (Cell.cs:191-233): f32→f64 is lossless and the f64
+    # subtraction of two f32 values is exact.
+    if isinstance(v8, tuple):
+        arr, cnt = v8
+        v8 = np.asarray(arr)[:, :cnt]
+    v8 = np.asarray(v8, np.float64) - iso
+    LAST_TIMINGS["v8_wait_ms"] = (_time.perf_counter() - t0) * 1e3
+
     def corner_of(rel_dx, rel_dy, rel_dz):
         """(dx, dy, dz) ∈ {0,1}^3 offset arrays -> MC corner index arrays."""
         packed = rel_dz.astype(np.int64) * 4 + rel_dy * 2 + rel_dx
         return luts.OFFSET_TO_MC[packed].astype(np.int64)
 
     # --- dispatch: per-cell tilings (TheBigSwitch) ---
+    t0 = _time.perf_counter()
     groups = _dispatch(casenum, config, v8)
 
     # --- assemble the global face stream in reference order ---
@@ -472,13 +555,16 @@ def _sparse_phase(voxels, active, case_index, v8, c8, step: int, lx: int,
         stream_vi[pos] = rows
         stream_cell[pos] = sel[:, None]
 
-    # --- vertex welding via canonical edge keys ---
+    # --- vertex welding via canonical edge keys (int32 when the grid allows:
+    #     the sort inside np.unique is the weld's hot op) ---
     svi = stream_vi
     kx = acx[stream_cell] + step * luts.KEY_OX[svi]
     ky = acy[stream_cell] + step * luts.KEY_OY[svi]
     kz = acz[stream_cell] + step * luts.KEY_OZ[svi]
     kj = luts.KEY_J[svi].astype(np.int64)
     keys = ((kz.astype(np.int64) * ny + ky) * nx + kx) * 4 + kj
+    if 4 * nx * ny * nz < 2**31:
+        keys = keys.astype(np.int32)
 
     uniq, first_idx, inv = np.unique(keys, return_index=True, return_inverse=True)
     order = np.argsort(first_idx, kind="stable")
@@ -486,46 +572,74 @@ def _sparse_phase(voxels, active, case_index, v8, c8, step: int, lx: int,
     rank[order] = np.arange(order.size)
     vertex_id = rank[inv]  # per stream entry
     rep = first_idx[order]  # representative stream entry per vertex
+    LAST_TIMINGS["dispatch_weld_ms"] = (_time.perf_counter() - t0) * 1e3
 
-    # --- vertex positions and colors (Cell.AddFaceFromEdgeIndex /
-    #     CalculateCenterVertex interpolation) ---
+    # --- vertex positions (host, f64) + on-device color interpolation
+    #     (Cell.AddFaceFromEdgeIndex / CalculateCenterVertex) ---
+    t0 = _time.perf_counter()
     n_verts = rep.size
     verts = np.zeros((n_verts, 3))
-    vcols = np.zeros((n_verts, 3))
+    vcols = np.zeros((n_verts, 3), np.float32)
 
     r_vi = stream_vi[rep]
     r_cell = stream_cell[rep]
     r_cx, r_cy, r_cz = acx[r_cell], acy[r_cell], acz[r_cell]
+
+    if nx * ny * nz >= 2**31:
+        raise NotImplementedError(
+            "color interpolation flat ids need int64; grids this large do "
+            "not fit device memory anyway"
+        )
+    colors_flat = jnp.asarray(colors, jnp.float32).reshape(-1, 3)
+    edge_cols_dev = center_cols_dev = None
 
     edge_m = r_vi < 12
     if edge_m.any():
         evi = r_vi[edge_m]
         cells = r_cell[edge_m]
         ex, ey, ez = r_cx[edge_m], r_cy[edge_m], r_cz[edge_m]
-        d1x = luts.edgesrelx[evi, 0].astype(np.float64)
-        d1y = luts.edgesrely[evi, 0].astype(np.float64)
-        d1z = luts.edgesrelz[evi, 0].astype(np.float64)
-        d2x = luts.edgesrelx[evi, 1].astype(np.float64)
-        d2y = luts.edgesrely[evi, 1].astype(np.float64)
-        d2z = luts.edgesrelz[evi, 1].astype(np.float64)
+        rel1x = luts.edgesrelx[evi, 0]
+        rel1y = luts.edgesrely[evi, 0]
+        rel1z = luts.edgesrelz[evi, 0]
+        rel2x = luts.edgesrelx[evi, 1]
+        rel2y = luts.edgesrely[evi, 1]
+        rel2z = luts.edgesrelz[evi, 1]
+        d1x = rel1x.astype(np.float64)
+        d1y = rel1y.astype(np.float64)
+        d1z = rel1z.astype(np.float64)
+        d2x = rel2x.astype(np.float64)
+        d2y = rel2y.astype(np.float64)
+        d2z = rel2z.astype(np.float64)
 
-        k1 = corner_of(
-            luts.edgesrelx[evi, 0], luts.edgesrely[evi, 0], luts.edgesrelz[evi, 0]
-        )
-        k2 = corner_of(
-            luts.edgesrelx[evi, 1], luts.edgesrely[evi, 1], luts.edgesrelz[evi, 1]
-        )
+        k1 = corner_of(rel1x, rel1y, rel1z)
+        k2 = corner_of(rel2x, rel2y, rel2z)
         va = v8[k1, cells]
         vb = v8[k2, cells]
-        ca = c8[k1, cells]
-        cb = c8[k2, cells]
         t1 = 1.0 / (FLT_EPSILON + np.abs(va))
         t2 = 1.0 / (FLT_EPSILON + np.abs(vb))
         ff = t1 + t2
         verts[edge_m, 0] = ex + step * (d1x * t1 + d2x * t2) / ff
         verts[edge_m, 1] = ey + step * (d1y * t1 + d2y * t2) / ff
         verts[edge_m, 2] = ez + step * (d1z * t1 + d2z * t2) / ff
-        vcols[edge_m] = (ca * t1[:, None] + cb * t2[:, None]) / ff[:, None]
+
+        # Launch the device color blend now; fetch after the gradient pass.
+        i1 = ((ex + step * rel1x) * ny + (ey + step * rel1y)) * nz + (
+            ez + step * rel1z
+        )
+        i2 = ((ex + step * rel2x) * ny + (ey + step * rel2y)) * nz + (
+            ez + step * rel2z
+        )
+        n_e = int(edge_m.sum())
+        nb = -(-n_e // 4096) * 4096  # bucketed shapes bound recompiles
+        pad = nb - n_e
+        w1 = (t1 / ff).astype(np.float32)
+        edge_cols_dev = _edge_vertex_colors(
+            colors_flat,
+            jnp.asarray(np.pad(i1.astype(np.int32), (0, pad))),
+            jnp.asarray(np.pad(i2.astype(np.int32), (0, pad))),
+            jnp.asarray(np.pad(w1, (0, pad))),
+        )
+        edge_cols_dev.copy_to_host_async()
 
     center_m = ~edge_m
     if center_m.any():
@@ -539,52 +653,87 @@ def _sparse_phase(voxels, active, case_index, v8, c8, step: int, lx: int,
         verts[center_m, 0] = r_cx[center_m] + step * fx / ff
         verts[center_m, 1] = r_cy[center_m] + step * fy / ff
         verts[center_m, 2] = r_cz[center_m] + step * fz / ff
-        ccol = c8[:, cc]  # (8, k, 3) corner colors, MC numbering
-        vcols[center_m] = (ccol * strength[:, :, None]).sum(axis=0) / ff[:, None]
+
+        base = (r_cx[center_m] * ny + r_cy[center_m]) * nz + r_cz[center_m]
+        deltas = (
+            (luts.CORNER_DX.astype(np.int64) * ny + luts.CORNER_DY) * nz
+            + luts.CORNER_DZ
+        ) * step
+        k_c = int(center_m.sum())
+        nb = -(-k_c // 1024) * 1024
+        pad = nb - k_c
+        w8 = (strength / ff).T.astype(np.float32)  # (k, 8)
+        center_cols_dev = _center_vertex_colors(
+            colors_flat,
+            jnp.asarray(np.pad(base.astype(np.int32), (0, pad))),
+            jnp.asarray(deltas.astype(np.int32)),
+            jnp.asarray(np.pad(w8, ((0, pad), (0, 0)))),
+        )
+        center_cols_dev.copy_to_host_async()
+    LAST_TIMINGS["interp_ms"] = (_time.perf_counter() - t0) * 1e3
 
     # --- gradient accumulation into normals (every face reference
     #     contributes; reproduces Cell.AddGradient* including the vg
-    #     packed-vs-MC indexing quirk at Cell.cs:314-333) ---
-    vg = _corner_gradients(v8)  # (8, 3, n_active) MC numbering
-    normals = np.zeros((n_verts, 3))
+    #     packed-vs-MC indexing quirk at Cell.cs:314-333). f32 throughout —
+    #     the reference accumulates into float Vector3 normals too
+    #     (Cell.cs:65-69) — and it overlaps the color fetch above. ---
+    t0 = _time.perf_counter()
+    vg = _corner_gradients(v8)  # (8, n_active, 3) f32, MC numbering
+    normals = np.zeros((n_verts, 3), np.float32)
 
     se_m = svi < 12
     if se_m.any():
-        evi = svi[se_m]
-        ecell = stream_cell[se_m]
+        # The contribution of a face reference depends only on its
+        # (cell, edge) pair, and so does its weld key — so identical pairs
+        # (the same vertex referenced by several triangles of one cell's
+        # tiling, Cell.cs:272-359) add the same vector. Compress the stream
+        # to unique pairs and scale by multiplicity: typically ~2.5x fewer
+        # gathers and flops than walking all 3*n_triangles references.
+        evi_all = svi[se_m]
+        ecell_all = stream_cell[se_m]
+        pairkey = ecell_all * 13 + evi_all
+        if 13 * n_active < 2**31:
+            pairkey = pairkey.astype(np.int32)
+        _, uidx, ucnt = np.unique(
+            pairkey, return_index=True, return_counts=True
+        )
+        evi = evi_all[uidx]
+        ecell = ecell_all[uidx]
+        uvid = vertex_id[se_m][uidx]
         # packed index = dz*4 + dy*2 + dx (Cell.cs:318-319), used to index
         # vv (remapped) AND vg (MC-numbered) — the quirk is using it for vg.
-        p1 = (
-            luts.edgesrelz[evi, 0].astype(np.int64) * 4
-            + luts.edgesrely[evi, 0] * 2
-            + luts.edgesrelx[evi, 0]
-        )
-        p2 = (
-            luts.edgesrelz[evi, 1].astype(np.int64) * 4
-            + luts.edgesrely[evi, 1] * 2
-            + luts.edgesrelx[evi, 1]
-        )
+        p1 = luts.EDGE_P1[evi]
+        p2 = luts.EDGE_P2[evi]
         # vv is remapped so vv[packed] = value at that offset: look the
         # endpoint values up by MC corner in the gathered v8.
-        va = v8[luts.OFFSET_TO_MC[p1].astype(np.int64), ecell]
-        vb = v8[luts.OFFSET_TO_MC[p2].astype(np.int64), ecell]
-        t1 = 1.0 / (FLT_EPSILON + np.abs(va))
-        t2 = 1.0 / (FLT_EPSILON + np.abs(vb))
-        contrib = (
-            vg[p1, :, ecell] * t1[:, None] + vg[p2, :, ecell] * t2[:, None]
-        )
-        np.add.at(normals, vertex_id[se_m], contrib)
+        va = v8[luts.EDGE_MC1[evi], ecell]
+        vb = v8[luts.EDGE_MC2[evi], ecell]
+        cnt = ucnt.astype(np.float32)
+        t1 = (cnt / (FLT_EPSILON + np.abs(va))).astype(np.float32)
+        t2 = (cnt / (FLT_EPSILON + np.abs(vb))).astype(np.float32)
+        contrib = vg[p1, ecell] * t1[:, None] + vg[p2, ecell] * t2[:, None]
+        np.add.at(normals, uvid, contrib)
 
     sc_m = ~se_m
     if sc_m.any():
         ccell = stream_cell[sc_m]
         vv = v8[:, ccell]
-        strength = 1.0 / (FLT_EPSILON + np.abs(vv))  # (8, k)
-        contrib = np.einsum("kc,kdc->cd", strength, vg[:, :, ccell])
+        strength = (1.0 / (FLT_EPSILON + np.abs(vv))).astype(np.float32)
+        contrib = np.einsum("kc,kcd->cd", strength, vg[:, ccell])
         np.add.at(normals, vertex_id[sc_m], contrib)
+    LAST_TIMINGS["grad_ms"] = (_time.perf_counter() - t0) * 1e3
+
+    # --- collect the device-interpolated colors ---
+    t0 = _time.perf_counter()
+    if edge_cols_dev is not None:
+        vcols[edge_m] = np.asarray(edge_cols_dev)[: int(edge_m.sum())]
+    if center_cols_dev is not None:
+        vcols[center_m] = np.asarray(center_cols_dev)[: int(center_m.sum())]
+    LAST_TIMINGS["colors_wait_ms"] = (_time.perf_counter() - t0) * 1e3
 
     # --- finalize: negative normalized normals (Cell.cs:97-109), world
     #     transform (MarchingCubes.cs:84-91) ---
+    normals = normals.astype(np.float64)
     norm = np.linalg.norm(normals, axis=1, keepdims=True)
     normals = -normals / np.where(norm > 0, norm, 1.0)
 
@@ -599,7 +748,7 @@ def _sparse_phase(voxels, active, case_index, v8, c8, step: int, lx: int,
 
     return Mesh(
         verts.astype(np.float32),
-        vcols.astype(np.float32),
+        vcols,
         normals.astype(np.float32),
         vertex_id.astype(np.int32),
     )

@@ -54,9 +54,14 @@ def _classify_brick(ext, iso, d0_cells, step: int, lx: int, ly: int,
         )
         bits = bits + jnp.uint8(1 << k) * (corner > iso).astype(jnp.uint8)
     bits = bits.transpose(2, 1, 0).reshape(-1)  # local (z, y, x) cell order
-    casenum = jnp.asarray(luts.cases[:, 0], jnp.int32)[bits.astype(jnp.int32)]
+    # case 0 <=> bits in {0, 255} (see mesh/marching_cubes._classify_slab):
+    # two compares instead of a LUT gather over every cell.
     kz = jnp.arange(bits.shape[0], dtype=jnp.int32) // (lx * ly)
-    mask = (casenum > 0) & (d0_cells + kz < lz)
+    mask = (
+        (bits != jnp.uint8(0))
+        & (bits != jnp.uint8(255))
+        & (d0_cells + kz < lz)
+    )
     return bits, mask
 
 
@@ -126,13 +131,13 @@ def create_mesh_sharded(mesh: Mesh, voxels, iso_value: float = 0.0,
     lz, m, nzL = _brick_layout(nz, step, n)
     # Sharded body: n bricks of nzL layers; replicated tail strip: the step
     # halo layers the LAST brick needs (global z in [n*nzL, n*nzL + step)).
+    # Colors never enter the dense phase: vertex colors are interpolated on
+    # device from the resident grid inside _sparse_phase, exactly as in the
+    # single-device path.
     body_v = _pad_z(values, n * nzL)
-    body_c = _pad_z(colors, n * nzL)
     tail_v = _pad_z(values, n * nzL + step)[:, :, n * nzL:]
-    tail_c = _pad_z(colors, n * nzL + step)[:, :, n * nzL:]
     zshard = NamedSharding(mesh, P(None, None, axis))
     body_v = jax.device_put(body_v, zshard)
-    body_c = jax.device_put(body_c, zshard)
 
     iso32 = jnp.float32(iso)
 
@@ -158,9 +163,8 @@ def create_mesh_sharded(mesh: Mesh, voxels, iso_value: float = 0.0,
                        np.zeros(0))
     size = 1 << max(max_count - 1, 0).bit_length()  # pow2 buckets bound recompiles
 
-    def gather_pass(body_v, body_c, tail_v, tail_c):
+    def gather_pass(body_v, tail_v):
         ext_v = _halo_exchange(body_v, tail_v, step, n, axis)
-        ext_c = _halo_exchange(body_c, tail_c, step, n, axis)
         d0 = jax.lax.axis_index(axis).astype(jnp.int32) * m
         bits, mask = _classify_brick(
             ext_v, iso32, d0, step, lx, ly, m, lz
@@ -175,26 +179,19 @@ def create_mesh_sharded(mesh: Mesh, voxels, iso_value: float = 0.0,
                    cz + step * int(luts.CORNER_DZ[k])]
              for k in range(8)]
         )
-        c8 = jnp.stack(
-            [ext_c[cx + step * int(luts.CORNER_DX[k]),
-                   cy + step * int(luts.CORNER_DY[k]),
-                   cz + step * int(luts.CORNER_DZ[k]), :]
-             for k in range(8)]
-        )
         one = lambda a: a[None]
-        return one(idx), one(bits[idx]), one(v8), one(c8)
+        return one(idx), one(bits[idx]), one(v8)
 
-    idx_g, bits_g, v8_g, c8_g = jax.jit(
+    idx_g, bits_g, v8_g = jax.jit(
         jax.shard_map(
             gather_pass, mesh=mesh,
-            in_specs=(P(None, None, axis), P(None, None, axis), P(), P()),
-            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(None, None, axis), P()),
+            out_specs=(P(axis), P(axis), P(axis)),
         )
-    )(body_v, body_c, tail_v, tail_c)
+    )(body_v, tail_v)
     idx_g = np.asarray(idx_g)
     bits_g = np.asarray(bits_g)
     v8_g = np.asarray(v8_g)
-    c8_g = np.asarray(c8_g)
 
     # Device bricks own disjoint ascending z ranges and are (z, y, x)-ordered
     # inside, so concatenation IS the single-device cell order.
@@ -208,12 +205,10 @@ def create_mesh_sharded(mesh: Mesh, voxels, iso_value: float = 0.0,
     ).astype(np.int64)
     v8 = np.concatenate(
         [v8_g[d, :, : counts[d]] for d in range(n)], axis=1
-    ).astype(np.float64) - iso
-    c8 = np.concatenate(
-        [c8_g[d, :, : counts[d]] for d in range(n)], axis=1
-    ).astype(np.float64)
+    )
 
-    tri = _sparse_phase(voxels, active, case_index, v8, c8, step, lx, ly)
+    tri = _sparse_phase(voxels, active, case_index, v8, colors, step, lx, ly,
+                        iso)
     if progress is not None:
         progress(1.0)
     return tri
