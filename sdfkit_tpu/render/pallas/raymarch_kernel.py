@@ -32,13 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 from sdfkit_tpu.render import raymarch as rm
 from sdfkit_tpu.utils.v3 import V3
 
-# Rows of 128 lanes per grid step. 512x128 f32 = 256 KB per array; outputs
-# plus march intermediates stay inside the 16 MB scoped-VMEM budget. Swept on
-# v5e at 1080p: 1024 rows -> 2.19 ms but OOMs scoped VMEM on the RGB path
-# once chained, 256 -> 2.22 ms, 512 -> 2.24 ms; 512 is chosen because the
-# 0.02 ms spread is within run-to-run jitter and 512 leaves the most
-# pipelining headroom for heavier scenes.
-BLOCK_ROWS = 512
+# Rows of 128 lanes per grid step. Swept on v5e at 1080p (r3, chained
+# frames, RTT-corrected): 64 -> 2.67 ms, 128 -> 2.57, 192 -> 2.47,
+# 256 -> 2.45, 384 -> 2.80, 512 -> 3.12, 768 -> 3.40, 1024 OOMs scoped VMEM.
+# Small tiles win: the march intermediates of a 256x128 tile fit the 16 MB
+# scoped-VMEM budget with room for double buffering, while >=384 rows push
+# Mosaic into spilling. (The r2 regression to 3.27 ms was exactly this —
+# BLOCK_ROWS=512 chosen from a sweep taken before the kernel grew its
+# shading/backward structure.)
+BLOCK_ROWS = 256
 
 
 def _final_shade(sdf, ro: V3, rd: V3, depth, cfg: rm.RenderConfig):
@@ -154,11 +156,14 @@ def _pallas_render_flat(params_smem, ro6, rd6, meta, cfg, want_color):
         ro = V3(ro_ref[0], ro_ref[1], ro_ref[2])
         rd = V3(rd_ref[0], rd_ref[1], rd_ref[2])
         depth, color = _march_and_shade(sdf, ro, rd, cfg, want_color)
-        out_refs[0][...] = depth
         if want_color:
-            out_refs[1][0] = color.x
-            out_refs[1][1] = color.y
-            out_refs[1][2] = color.z
+            # RGB only — the depth plane would be dead output (see the
+            # image-level kernel below).
+            out_refs[0][0] = color.x
+            out_refs[0][1] = color.y
+            out_refs[0][2] = color.z
+        else:
+            out_refs[0][...] = depth
 
     ray_spec = pl.BlockSpec(
         (3, BLOCK_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -166,11 +171,12 @@ def _pallas_render_flat(params_smem, ro6, rd6, meta, cfg, want_color):
     depth_spec = pl.BlockSpec(
         (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)]
-    out_specs = [depth_spec]
     if want_color:
-        out_shape.append(jax.ShapeDtypeStruct((3, rows, 128), jnp.float32))
-        out_specs.append(ray_spec)
+        out_shape = [jax.ShapeDtypeStruct((3, rows, 128), jnp.float32)]
+        out_specs = [ray_spec]
+    else:
+        out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)]
+        out_specs = [depth_spec]
 
     results = pl.pallas_call(
         kernel,
@@ -216,7 +222,7 @@ def _render_fused_impl(sdf, ro, rd, cfg, want_color):
     )
     if not want_color:
         return results[0].reshape(-1)[:n].reshape(shape)
-    rgb = results[1].reshape(3, -1)[:, :n]
+    rgb = results[0].reshape(3, -1)[:, :n]
     return jnp.stack(
         [rgb[0].reshape(shape), rgb[1].reshape(shape), rgb[2].reshape(shape)],
         axis=-1,
@@ -298,11 +304,14 @@ def _pallas_render_image_flat(params_smem, ivp, cam, meta, cfg, want_color):
         sdf = _rebuild(treedef, shapes, leaf_refs)
         ro, rd = _rays_from_index(ivp_ref, cam_ref, cfg.width, cfg.height)
         depth, color = _march_and_shade(sdf, ro, rd, cfg, want_color)
-        out_refs[0][...] = depth
         if want_color:
-            out_refs[1][0] = color.x
-            out_refs[1][1] = color.y
-            out_refs[1][2] = color.z
+            # RGB only: the depth plane would be dead output — skipping it
+            # saves a full-frame HBM write per render.
+            out_refs[0][0] = color.x
+            out_refs[0][1] = color.y
+            out_refs[0][2] = color.z
+        else:
+            out_refs[0][...] = depth
 
     depth_spec = pl.BlockSpec(
         (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -310,11 +319,12 @@ def _pallas_render_image_flat(params_smem, ivp, cam, meta, cfg, want_color):
     rgb_spec = pl.BlockSpec(
         (3, BLOCK_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)]
-    out_specs = [depth_spec]
     if want_color:
-        out_shape.append(jax.ShapeDtypeStruct((3, rows, 128), jnp.float32))
-        out_specs.append(rgb_spec)
+        out_shape = [jax.ShapeDtypeStruct((3, rows, 128), jnp.float32)]
+        out_specs = [rgb_spec]
+    else:
+        out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)]
+        out_specs = [depth_spec]
 
     return pl.pallas_call(
         kernel,
@@ -345,10 +355,9 @@ def _render_image_fused_impl(sdf, view, cfg, want_color):
         params, ivp, cam_pos, (treedef, tuple(shapes)), cfg, want_color
     )
     npix = cfg.width * cfg.height
-    depth = results[0].reshape(-1)[:npix].reshape(cfg.height, cfg.width)
     if not want_color:
-        return depth
-    rgb = results[1].reshape(3, -1)[:, :npix]
+        return results[0].reshape(-1)[:npix].reshape(cfg.height, cfg.width)
+    rgb = results[0].reshape(3, -1)[:, :npix]
     return jnp.stack(
         [c.reshape(cfg.height, cfg.width) for c in rgb], axis=-1
     )

@@ -184,20 +184,30 @@ class RayMarcher:
         backend: str = "auto",
     ):
         """backend: 'fused' = Pallas kernel (in-kernel ray generation, zero
-        ray HBM traffic), 'jnp' = pure-jnp path, 'auto' = currently the jnp
-        path everywhere — measured on v5e the XLA-fused fori_loop march
-        (2.64 ms @1080p) edges out the Pallas kernel (3.07 ms); both are
-        ~8x the 100 Mrays/s target. Roofline (bench.py bench_roofline, XLA
+        ray HBM traffic, RGB as the only full-frame HBM write), 'jnp' =
+        pure-jnp path, 'auto' = the fused kernel when the scene's parameter
+        count fits its SMEM budget, else jnp. Measured on v5e at 1080p (r3,
+        chained frames, RTT-corrected): fused 2.53 ms vs jnp 2.54-2.61 ms —
+        the r2 regression was a stale BLOCK_ROWS=512 pick; the r3 sweep
+        (raymarch_kernel.BLOCK_ROWS) moved it to 256. Both are ~8x the
+        100 Mrays/s target. Roofline (bench.py bench_roofline, XLA
         cost-analysis flop counts): the frame is 5.63 GFLOP vs a 25 MB HBM
-        floor — compute-bound by ~50x — and the jnp path sustains ~2.1
-        VPU TFLOP/s, ~55% of the 3.85 TFLOP/s f32 peak counting only
+        floor — compute-bound by ~50x — and both paths sustain ~2.2
+        VPU TFLOP/s, ~58% of the 3.85 TFLOP/s f32 peak counting only
         XLA-counted flops (compare/select/floor lane ops and rsqrt
         transcendentals, which sphere tracing spends heavily, occupy the
-        remaining slots). XLA is already at the hardware bound here; the
-        kernel remains available for workloads where keeping the march
-        VMEM-resident wins (see bench.py extra fields)."""
+        remaining slots)."""
         if backend == "auto":
-            backend = "jnp"
+            from sdfkit_tpu.render.pallas.raymarch_kernel import (
+                MAX_FUSED_PARAM_SCALARS,
+            )
+            import numpy as _np
+
+            n_scalars = sum(
+                int(_np.prod(jnp.shape(l))) if jnp.shape(l) else 1
+                for l in jax.tree_util.tree_leaves(sdf)
+            )
+            backend = "fused" if n_scalars <= MAX_FUSED_PARAM_SCALARS else "jnp"
         if backend not in ("fused", "jnp"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
