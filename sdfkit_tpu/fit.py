@@ -6,8 +6,10 @@ cannot offer (its IL-compiled SDFs are not differentiable): every SdfExpr is
 a pytree of parameter leaves and the renderer is pure jnp, so
 ``jax.value_and_grad`` of an image loss flows through the 40-step march,
 the finite-difference normals and the shading (BASELINE.md differentiable
-smooth-union CSG config). Single chip by default; pass a Mesh to shard rays
-over devices with the gradient all-reduced over ICI (parallel/train.py).
+smooth-union CSG config). Single chip by default; ``fit(..., mesh=mesh)``
+runs the identical optax loop multi-chip — rays and target rows sharded
+over the mesh, the parameter-gradient all-reduce riding ICI — with
+checkpoint/resume intact (see _fit_step_sharded).
 
 Checkpoint/resume is via orbax (SURVEY.md section 5, checkpoint entry): the
 optimizer state and parameters are saved every ``checkpoint_every`` steps and
@@ -46,6 +48,42 @@ def image_loss_fn(sdf, target, ro, rd, cfg: RenderConfig) -> Array:
 @partial(jax.jit, static_argnums=(0, 1))
 def _fit_step(optimizer, cfg, sdf, opt_state, target, ro, rd):
     loss, grads = jax.value_and_grad(image_loss_fn)(sdf, target, ro, rd, cfg)
+    updates, opt_state = optimizer.update(grads, opt_state, sdf)
+    sdf = optax.apply_updates(sdf, updates)
+    return sdf, opt_state, loss
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 7))
+def _fit_step_sharded(optimizer, cfg, mesh, sdf, opt_state, target_sh,
+                      rays_sh, n_real_rows):
+    """The full fit step over a device mesh: rays and target rows are sharded
+    over the mesh's first axis, the SDF parameters and optimizer state are
+    replicated, and the backward pass all-reduces the parameter gradients
+    over ICI (inserted by XLA from shard_map's replicated P() in-spec). The
+    same optax chain as the single-device step runs on the psum'd gradient —
+    including the global-norm clipping that sphere-trace losses need (see
+    fit()'s optimizer default) — so sharded and single-device fits walk the
+    same trajectory up to reduction rounding."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    ro, rd = rays_sh
+
+    def loss_fn(sdf):
+        local = lambda sdf, ro, rd: render_rays(sdf, ro, rd, cfg)
+        img = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(axis),
+        )(sdf, ro, rd)
+        # Padded rows (duplicated last row, added to make the extent divide
+        # the mesh) are masked out so the mean matches the unpadded loss.
+        row = jnp.arange(img.shape[0])[:, None, None]
+        se = jnp.where(row < n_real_rows, (img - target_sh) ** 2, 0.0)
+        return jnp.sum(se) / (n_real_rows * img.shape[1] * img.shape[2])
+
+    loss, grads = jax.value_and_grad(loss_fn)(sdf)
     updates, opt_state = optimizer.update(grads, opt_state, sdf)
     sdf = optax.apply_updates(sdf, updates)
     return sdf, opt_state, loss
@@ -101,6 +139,7 @@ def fit(
     checkpoint_every: int = 50,
     progress: Callable[[int, float], None] | None = None,
     backend: str = "auto",
+    mesh=None,
     **cfg_kwargs,
 ) -> FitResult:
     """Fit ``sdf``'s parameters so its render matches ``target`` (H, W, 3).
@@ -113,12 +152,38 @@ def fit(
     kernels (5.6x faster per step on TPU), 'jnp' uses XLA autodiff through
     the pure-jnp renderer, 'auto' picks 'fused' on TPU for scenes within the
     fused parameter cap and 'jnp' otherwise.
+
+    ``mesh``: a ``jax.sharding.Mesh`` to run every step multi-chip — image
+    rows (rays + target) are sharded over the mesh's first axis, parameters
+    and optimizer state are replicated, and the parameter-gradient
+    all-reduce rides ICI. The full optax chain (including the load-bearing
+    global-norm clipping), checkpointing and resume behave exactly as on a
+    single device; the renderer under shard_map is the jnp path (the Pallas
+    kernels are per-chip and the per-shard win does not yet justify the
+    extra variant). ``parallel.train_step_sharded`` remains the low-level
+    one-step primitive this loop supersedes.
     """
     target = jnp.asarray(target, jnp.float32)
     height, width = target.shape[:2]
     cfg = RenderConfig(width=width, height=height, **cfg_kwargs)
     view = default_view() if view is None else jnp.asarray(view, jnp.float32)
     ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
+
+    target_sh = rays_sh = None
+    if mesh is not None:
+        from sdfkit_tpu.parallel.train import _pad_rows, shard_rays
+
+        n = mesh.devices.size
+        (ro_p, _), (rd_p, _), (target_p, _) = (
+            _pad_rows(ro, n),
+            _pad_rows(rd, n),
+            _pad_rows(target, n),
+        )
+        ro_p, rd_p, (target_sh,) = (
+            *shard_rays(mesh, ro_p, rd_p),
+            shard_rays(mesh, target_p),
+        )
+        rays_sh = (ro_p, rd_p)
 
     if optimizer is None:
         # Sphere-trace image losses have heavy-tailed gradients: a ray that
@@ -138,12 +203,26 @@ def fit(
         latest = manager.latest_step()
         if latest is not None:
             sdf, opt_state = _restore(manager, latest, (sdf, opt_state))
+            if mesh is not None:
+                # Restored leaves come back committed to the default device;
+                # re-replicate them so they compose with the sharded rays.
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(mesh, PartitionSpec())
+                sdf, opt_state = jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, rep), (sdf, opt_state)
+                )
             start_step, resumed_from = latest, latest
 
     backend = _pick_fit_backend(backend, sdf)
     losses: list[float] = []
     for step in range(start_step, steps):
-        if backend == "fused":
+        if mesh is not None:
+            sdf, opt_state, loss = _fit_step_sharded(
+                optimizer, cfg, mesh, sdf, opt_state, target_sh, rays_sh,
+                height,
+            )
+        elif backend == "fused":
             sdf, opt_state, loss = _fit_step_fused(
                 optimizer, cfg, sdf, opt_state, target, view
             )

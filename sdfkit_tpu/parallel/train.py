@@ -31,8 +31,8 @@ def _ray_specs():
 
 
 def shard_rays(mesh: Mesh, *arrays):
-    """Place (H, ...) arrays/pytrees row-sharded over the mesh's rays axis."""
-    sharding = NamedSharding(mesh, P("rays"))
+    """Place (H, ...) arrays/pytrees row-sharded over the mesh's first axis."""
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     return tuple(
         jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), arr)
         for arr in arrays
@@ -120,7 +120,12 @@ def train_step_sharded(mesh: Mesh, sdf, target, view=None, lr: float = 1e-2,
     """One differentiable fitting step: render the SDF over the mesh, compare
     to the target image, SGD-update the SDF's pytree parameters. The gradient
     all-reduce over the replicated parameters rides ICI (inserted by XLA from
-    the shard_map replication spec)."""
+    the shard_map replication spec).
+
+    This is the LOW-LEVEL one-step primitive (bare SGD, no optimizer state,
+    no checkpointing); the full multi-chip training loop — optax chain with
+    global-norm clipping, checkpoint/resume, loss history — is
+    ``sdfkit_tpu.fit(..., mesh=mesh)``."""
     height, width = target.shape[:2]
     cfg = RenderConfig(width=width, height=height, **cfg_kwargs)
     if view is None:
@@ -143,17 +148,45 @@ def train_step_sharded(mesh: Mesh, sdf, target, view=None, lr: float = 1e-2,
 
 def voxelize_sharded(mesh: Mesh, sdf, vmin, vmax, nx: int, ny: int, nz: int,
                      clip_to_bounds: bool = True):
-    """Dense grid sampling with x-bricks sharded over the mesh."""
-    from sdfkit_tpu.mesh.voxels import Voxels
-    from sdfkit_tpu.ops.grid import cell_centers, clip_values_to_bounds
+    """Dense grid sampling with z-bricks sharded over the mesh.
 
+    The z axis (not x) is sharded so the result COMPOSES with
+    ``parallel.marching.create_mesh_sharded``, whose dense phase shards the
+    same axis with ppermute halo exchange: scene -> voxelize_sharded ->
+    create_mesh_sharded runs multi-chip end to end with no full-grid reshard
+    between the stages (tested in tests/test_parallel.py).
+
+    Each shard builds its own cell-center coordinates INSIDE the shard_map
+    body (from its axis_index and global z offsets) instead of receiving a
+    materialized point grid: XLA then fuses the iota->coordinate->SDF chain
+    exactly as the single-device ops/grid._voxelize_impl does, which keeps
+    the values BIT-IDENTICAL to the single-device path at any device count
+    (a materialized input grid changes FMA contraction and drifts by ulps).
+    Cells in the divisibility padding evaluate extrapolated coordinates and
+    are sliced off."""
+    from sdfkit_tpu.mesh.voxels import Voxels
+    from sdfkit_tpu.ops.grid import clip_values_to_bounds
+    from sdfkit_tpu.utils.v3 import V3
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
     vmin = jnp.asarray(vmin, jnp.float32)
     vmax = jnp.asarray(vmax, jnp.float32)
-    p = cell_centers(vmin, vmax, nx, ny, nz)
-    p, _ = _pad_rows(p, mesh.devices.size)
-    (p,) = shard_rays(mesh, p)  # leading axis = x bricks
+    d = (vmax - vmin) / jnp.array([nx, ny, nz], jnp.float32)
+    nzL = -(-nz // n)  # z layers per device
 
-    def local(sdf, p):
+    def local(sdf, vmin, d):
+        z0 = jax.lax.axis_index(axis) * nzL
+        xs = vmin[0] + (jnp.arange(nx, dtype=jnp.float32) + 0.5) * d[0]
+        ys = vmin[1] + (jnp.arange(ny, dtype=jnp.float32) + 0.5) * d[1]
+        zs = vmin[2] + (
+            z0.astype(jnp.float32) + jnp.arange(nzL, dtype=jnp.float32) + 0.5
+        ) * d[2]
+        p = V3(
+            jnp.broadcast_to(xs[:, None, None], (nx, ny, nzL)),
+            jnp.broadcast_to(ys[None, :, None], (nx, ny, nzL)),
+            jnp.broadcast_to(zs[None, None, :], (nx, ny, nzL)),
+        )
         color, dist = sdf.eval(p)
         colors = jnp.stack(
             [jnp.broadcast_to(c, dist.shape) for c in (color.x, color.y, color.z)],
@@ -161,15 +194,16 @@ def voxelize_sharded(mesh: Mesh, sdf, vmin, vmax, nx: int, ny: int, nz: int,
         )
         return dist, colors
 
+    zspec = P(None, None, axis)
     values, colors = jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P("rays")),
-            out_specs=(P("rays"), P("rays")),
+            in_specs=(P(), P(), P()),
+            out_specs=(zspec, zspec),
         )
-    )(sdf, p)
-    values, colors = values[:nx], colors[:nx]
+    )(sdf, vmin, d)
+    values, colors = values[:, :, :nz], colors[:, :, :nz]
     if clip_to_bounds:
         values = clip_values_to_bounds(values, vmin, vmax)
     return Voxels(values=values, colors=colors, vmin=vmin, vmax=vmax)

@@ -91,3 +91,58 @@ class TestFit:
         # The x offset is the observable direction; y/z are weakly constrained
         # by this view and may drift a little.
         assert abs(float(res.sdf.a.offset[0]) - 0.5) < 0.1
+
+
+class TestFitSharded:
+    """fit(mesh=...) — the full multi-chip loop (VERDICT r2 item 4)."""
+
+    def _mesh(self, n=8):
+        import jax
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()[:n]), axis_names=("rays",))
+
+    def test_matches_single_device(self):
+        tgt = target_image()
+        single = fit(start_sdf(), tgt, steps=8, learning_rate=0.02,
+                     backend="jnp")
+        sharded = fit(start_sdf(), tgt, steps=8, learning_rate=0.02,
+                      mesh=self._mesh())
+        # Same optax chain (clip + adam) on the psum'd gradient: identical
+        # trajectory up to reduction-order rounding.
+        np.testing.assert_allclose(
+            sharded.losses, single.losses, rtol=1e-3, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            float(sharded.sdf.radius), float(single.sdf.radius), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.sdf.rgb), np.asarray(single.sdf.rgb), rtol=1e-3
+        )
+
+    def test_uneven_rows_and_loss_descends(self):
+        # H=16 does not divide 7 devices: the pad-and-mask path must keep the
+        # loss identical to the unpadded mean.
+        tgt = target_image()
+        m = self._mesh(7)
+        sharded = fit(start_sdf(), tgt, steps=5, learning_rate=0.02, mesh=m)
+        single = fit(start_sdf(), tgt, steps=5, learning_rate=0.02,
+                     backend="jnp")
+        assert sharded.losses[-1] < sharded.losses[0]
+        np.testing.assert_allclose(
+            sharded.losses, single.losses, rtol=1e-3, atol=1e-7
+        )
+
+    def test_checkpoint_resume_on_mesh(self, tmp_path):
+        tgt = target_image()
+        m = self._mesh()
+        full = fit(start_sdf(), tgt, steps=12, learning_rate=0.03, mesh=m)
+        ckpt = tmp_path / "ckpt_mesh"
+        fit(start_sdf(), tgt, steps=6, learning_rate=0.03, mesh=m,
+            checkpoint_dir=ckpt, checkpoint_every=3)
+        resumed = fit(start_sdf(), tgt, steps=12, learning_rate=0.03, mesh=m,
+                      checkpoint_dir=ckpt, checkpoint_every=3)
+        assert resumed.resumed_from == 6
+        np.testing.assert_allclose(
+            float(resumed.sdf.radius), float(full.sdf.radius), atol=1e-5
+        )

@@ -174,3 +174,32 @@ class TestTrainStepSharded:
             jax.tree_util.tree_leaves(s_multi), jax.tree_util.tree_leaves(s_single)
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestShardedPipeline:
+    """scene -> voxelize_sharded -> create_mesh_sharded composes on ONE grid
+    axis (z for both stages), so the multi-chip pipeline runs with no
+    implicit full-grid reshard between stages (VERDICT r2 item 6)."""
+
+    def test_voxels_stay_z_sharded(self, mesh):
+        v = voxelize_sharded(mesh, scene(), (-1, -1, -1), (1, 1, 1), 16, 16, 16)
+        assert isinstance(v.values, jax.Array)
+        shard_shapes = {s.data.shape for s in v.values.addressable_shards}
+        # 8 devices, 16 z layers -> every shard holds a (16, 16, 2) z-brick.
+        assert shard_shapes == {(16, 16, 2)}
+
+    def test_composed_bit_identical_to_single_device(self, mesh):
+        s = scene()
+        v1 = sk.voxelize(s, (-1, -1, -1), (1, 1, 1), 24, 24, 24)
+        m1 = v1.to_mesh()
+        from sdfkit_tpu.parallel.marching import create_mesh_sharded
+
+        v8 = voxelize_sharded(mesh, s, (-1, -1, -1), (1, 1, 1), 24, 24, 24)
+        np.testing.assert_array_equal(
+            np.asarray(v8.values), np.asarray(v1.values)
+        )
+        m8 = create_mesh_sharded(mesh, v8)
+        np.testing.assert_array_equal(m8.vertices, m1.vertices)
+        np.testing.assert_array_equal(m8.colors, m1.colors)
+        np.testing.assert_array_equal(m8.normals, m1.normals)
+        np.testing.assert_array_equal(m8.triangles, m1.triangles)
