@@ -448,6 +448,40 @@ def bench_mesh(n: int = 256) -> dict:
     }
 
 
+def bench_icp(rtt: float, n: int = 10000) -> dict:
+    """Registration wall-clock at 10k points (VERDICT r2 item 9): the whole
+    ICP — 100 iterations of NN search, robust filter, Kabsch SVD and
+    transform chaining — runs as ONE device dispatch (the jit'd lax.scan in
+    registration/icp.py), so a tunneled chip pays one round trip instead of
+    up to 100."""
+    import numpy as np
+
+    from sdfkit_tpu.registration.icp import register_points_jax
+
+    rng = np.random.default_rng(7)
+    static = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+    ang = 0.02
+    rot = np.array(
+        [[np.cos(ang), np.sin(ang), 0], [-np.sin(ang), np.cos(ang), 0],
+         [0, 0, 1]], np.float32,
+    )
+    moved = static @ rot + np.float32([0.03, -0.02, 0.01])
+
+    aligned, _ = register_points_jax(static, moved)  # warmup/compile
+    float(jnp.sum(aligned))
+    times = []
+    for _ in range(LOOPS):
+        t0 = time.perf_counter()
+        aligned, _ = register_points_jax(static, moved)
+        float(jnp.sum(aligned))
+        times.append(time.perf_counter() - t0)
+    err = float(jnp.abs(aligned - static).max())
+    return {
+        f"icp_{n}_ms": round((min(times) - rtt) * 1e3, 1),
+        f"icp_{n}_max_err": round(err, 6),
+    }
+
+
 def main():
     # --profile DIR wraps the timed loops in a jax.profiler trace viewable in
     # TensorBoard/XProf (the analogue of the reference's `make mactrace`
@@ -467,6 +501,7 @@ def main():
         vox = bench_voxels(rtt)
         mesh = bench_mesh()
         grad = bench_grad(rtt)
+        icp = bench_icp(rtt)
         scaling = bench_scaling(rtt)
     result["extra"]["voxel_Msamples_per_s"] = vox["value"]
     result["extra"]["voxel_fused_reduce_Msamples_per_s"] = vox[
@@ -474,6 +509,7 @@ def main():
     ]
     result["extra"].update(mesh)
     result["extra"].update(grad)
+    result["extra"].update(icp)
     result["extra"].update(scaling)
     if opts.profile:
         result["extra"]["profile_dir"] = opts.profile

@@ -50,7 +50,11 @@ def read_tga(path) -> np.ndarray:
         (idlen, _cmap, imtype, _, _, _, _, _, w, h, bpp, desc) = struct.unpack(
             "<BBBHHBHHHHBB", header
         )
-        assert imtype == 2 and bpp == 24, "only simple 24-bit TGA supported"
+        if imtype != 2 or bpp != 24:
+            raise ValueError(
+                f"only uncompressed 24-bit TGA supported "
+                f"(got image type {imtype}, {bpp} bpp)"
+            )
         f.read(idlen)
         data = np.frombuffer(f.read(w * h * 3), np.uint8).reshape(h, w, 3)
     rgb = data[..., ::-1].astype(np.float32) / 255.0

@@ -135,6 +135,23 @@ def _transform_points(points, m):
     return points @ m[:3, :3] + m[3, :3]
 
 
+def robust_distance_cutoff(dist_mean: float, dist_std: float,
+                           good: float = GOOD_CORRESPONDENCE_DISTANCE) -> float:
+    """The reference's 4-branch correspondence-distance cutoff, transliterated
+    from IterativeClosestPoint.cs:101-114. Note the fourth branch: the C#
+    comment above it quotes the ICP paper's "valley after the maximal peak"
+    rule, but the CODE is literally ``distMax = distMean + 0.5f + distStd``
+    (line 113) — no histogram is ever built, so exact parity IS this constant
+    formula. Pinned branch-for-branch in tests/test_icp.py."""
+    if dist_mean < good:
+        return dist_mean + 3.0 * dist_std
+    if dist_mean < 3.0 * good:
+        return dist_mean + 2.0 * dist_std
+    if dist_mean < 6.0 * good:
+        return dist_mean + dist_std
+    return dist_mean + 0.5 + dist_std
+
+
 class IterativeClosestPoint:
     """Point-to-point ICP against a static point set
     (IterativeClosestPoint.cs:10-205)."""
@@ -157,13 +174,41 @@ class IterativeClosestPoint:
     def add_static_points(self, points) -> None:
         self._nn.add_points(points)
 
-    def register_points(self, points):
+    def register_points(self, points, parity: bool | None = None):
         """Rigidly align `points` to the static set.
 
         Returns (aligned_points, total_transform) where total_transform is the
         4x4 row-vector matrix that maps the input points to their aligned
         locations (the reference mutates in place and returns the transform,
-        IterativeClosestPoint.cs:53-75)."""
+        IterativeClosestPoint.cs:53-75).
+
+        ``parity``: True runs the host numpy loop that mirrors the reference
+        step for step (early exit, float64 SVD) but pays one device round
+        trip per iteration for the NN search — up to 100 of them, ~2.5 s of
+        pure latency on a tunneled TPU. False runs the whole registration as
+        ONE jit'd ``lax.scan`` dispatch on device (register_points_jax; same
+        per-iteration math, convergence freeze instead of early exit). The
+        default (None) picks the device path, falling back to numpy on CPU
+        (where per-dispatch latency is nil and early exit wins) or when the
+        instance's thresholds were changed from the reference defaults
+        (the jit'd path compiles the defaults in)."""
+        if parity is None:
+            parity = jax.default_backend() == "cpu" or (
+                self.max_iterations != MAX_ITERATIONS
+                or self.good_correspondence_distance
+                != GOOD_CORRESPONDENCE_DISTANCE
+                or self.converged_maximum_translation
+                != CONVERGED_MAX_TRANSLATION
+                or self.converged_maximum_rotation != CONVERGED_MAX_ROTATION
+            )
+        if not parity:
+            aligned, total = register_points_jax(
+                self._nn.points, points, self.max_iterations
+            )
+            return (
+                np.asarray(aligned, np.float32),
+                np.asarray(total, np.float32),
+            )
         pts = np.asarray(points, np.float32).reshape(-1, 3).copy()
         total = np.eye(4, dtype=np.float32)
 
@@ -194,17 +239,9 @@ class IterativeClosestPoint:
 
         dist_mean = dist.mean()
         dist_std = float(np.sqrt(((dist - dist_mean) ** 2).mean()))
-        good = self.good_correspondence_distance
-        if dist_mean < good:
-            dist_max = dist_mean + 3.0 * dist_std
-        elif dist_mean < 3.0 * good:
-            dist_max = dist_mean + 2.0 * dist_std
-        elif dist_mean < 6.0 * good:
-            dist_max = dist_mean + dist_std
-        else:
-            # "the valley after the maximal peak" heuristic
-            # (IterativeClosestPoint.cs:111-114)
-            dist_max = dist_mean + 0.5 + dist_std
+        dist_max = robust_distance_cutoff(
+            dist_mean, dist_std, self.good_correspondence_distance
+        )
 
         keep = dist <= dist_max
         p = np.asarray(pts, np.float64)[keep]
@@ -262,8 +299,10 @@ def _register_points_jax(static_points, points, max_iterations: int, chunk: int)
                 jnp.where(
                     dist_mean < 6.0 * good,
                     dist_mean + dist_std,
-                    # "valley after the maximal peak" stand-in
-                    # (IterativeClosestPoint.cs:111-114)
+                    # Exactly the reference's fourth branch
+                    # (IterativeClosestPoint.cs:113) — see the numpy path for
+                    # why the "valley after the maximal peak" wording in the
+                    # C# is a paper quote, not the computed rule.
                     dist_mean + 0.5 + dist_std,
                 ),
             ),
