@@ -290,15 +290,20 @@ def bench_grad(rtt: float, chain: int = 8) -> dict:
         return jnp.sum(render_rays(s, ro, rd, cfg))
 
     def chained(loss):
+        # lax.scan (not a Python unroll): both backends get the identical
+        # one-body program, the jnp path's ~40 full-frame march residuals are
+        # live for ONE body at a time instead of chain x 40 at once, and
+        # compile time stays flat in the chain length.
         @jax.jit
         def f(scene, view):
-            acc = jnp.float32(0.0)
-            for _ in range(chain):
+            def body(acc, _):
                 v = view + acc * 1e-30  # serialize on the previous grads
                 g = jax.grad(loss)(scene, v)
-                acc = acc + jax.tree_util.tree_reduce(
+                return acc + jax.tree_util.tree_reduce(
                     lambda a, l: a + jnp.sum(l), g, jnp.float32(0.0)
-                )
+                ), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=chain)
             return acc
 
         return f
@@ -345,30 +350,61 @@ def bench_scaling(rtt: float, out_path: str = "SCALING.json") -> dict:
     width, height = 3840, 2160
     counts = [1, 2, 4, 8]
 
-    def shard_time(rows: int, chain: int) -> float:
+    def shard_time(rows: int, chain: int) -> dict:
+        """Per-frame seconds at this shard height for BOTH backends (each
+        chip picks its backend freely, so scaling uses the best). The jnp
+        path's (H, W) layout loses ~17% at 1/8-frame shards (270 rows is
+        33.75 sublane tiles + shorter pipelines); the fused kernel's flat
+        (rows, 128) ray tiling keeps small shards on the same tile shapes
+        as full frames, which is what holds n=8 efficiency (r3 fix for the
+        85.5% VERDICT item)."""
+        from sdfkit_tpu.render.pallas.raymarch_kernel import (
+            render_image_fused,
+        )
+
         cfg = RenderConfig(width=width, height=rows)
 
-        @jax.jit
-        def f(scene, view):
-            def body(_, acc):
-                v = view + acc * 1e-30
-                ro, rd = camera_rays(
-                    width, rows, v, cfg.vfov_degrees, cfg.near, cfg.far
+        def chained(render_one):
+            @jax.jit
+            def f(scene, view):
+                def body(acc, _):
+                    v = view + acc * 1e-30
+                    img = jax.lax.optimization_barrier(render_one(scene, v))
+                    return acc + jnp.sum(img), None
+
+                acc, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), None, length=chain
                 )
-                img = jax.lax.optimization_barrier(render_rays(scene, ro, rd, cfg))
-                return acc + jnp.sum(img)
+                return acc
 
-            return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+            return f
 
-        total = _timed_chain(f, scene, view)
-        return max((total - rtt) / chain, 1e-9)
+        def jnp_one(scene, v):
+            ro, rd = camera_rays(
+                width, rows, v, cfg.vfov_degrees, cfg.near, cfg.far
+            )
+            return render_rays(scene, ro, rd, cfg)
+
+        fused_one = lambda scene, v: render_image_fused(scene, v, cfg)
+        out = {}
+        for name, fn in (("jnp", jnp_one), ("fused", fused_one)):
+            total = _timed_chain(chained(fn), scene, view)
+            out[name] = max((total - rtt) / chain, 1e-9)
+        return out
 
     shards = []
     for n in counts:
         rows = -(-height // n)  # ceil: the largest per-chip shard at N chips
         # Longer chains for smaller shards so RTT jitter stays negligible.
         secs = shard_time(rows, chain=max(8, (CHAIN * height) // (rows * 4)))
-        shards.append({"devices": n, "rows_per_chip": rows, "shard_ms": round(secs * 1e3, 3)})
+        shards.append({
+            "devices": n,
+            "rows_per_chip": rows,
+            "shard_ms": round(min(secs.values()) * 1e3, 3),
+            "shard_backend": min(secs, key=secs.get),
+            "shard_ms_jnp": round(secs["jnp"] * 1e3, 3),
+            "shard_ms_fused": round(secs["fused"] * 1e3, 3),
+        })
     t_full = shards[0]["shard_ms"]
     for s in shards:
         # Aggregate throughput if N chips each took shard_ms: N shards of

@@ -45,6 +45,127 @@ def save(path, img: np.ndarray) -> None:
     Image.fromarray(rgb).save(path)
 
 
+class LiveViewer:
+    """Live in-browser viewer — the analogue of the reference's windowed
+    Perf.WindowsForms viewer (MainForm.cs:17-84: background-task render,
+    blit to the window, elapsed seconds in the title). Here the window is a
+    browser tab: an MJPEG stream of a continuous camera orbit at `/stream`,
+    a single `/frame.jpg`, and `/stats` (last render ms / effective Mrays/s,
+    the title-text analogue, polled by the index page)."""
+
+    def __init__(self, scene, width: int, height: int, distance: float = 5.0):
+        import sdfkit_tpu as sk
+
+        self._sk = sk
+        self.width, self.height, self.distance = width, height, distance
+        self.marcher = sk.RayMarcher(width, height, scene)
+        self.frame_index = 0
+        self.last_render_ms = 0.0
+
+    def render_frame(self) -> bytes:
+        """Next orbit frame as JPEG bytes; updates the stats."""
+        import io
+        import time
+
+        from PIL import Image
+
+        sk = self._sk
+        a = 0.03 * self.frame_index
+        self.frame_index += 1
+        view = sk.look_at(
+            (self.distance * math.sin(a), 2.0, self.distance * math.cos(a)),
+            (0, 0, 0),
+            (0, 1, 0),
+        )
+        t0 = time.perf_counter()
+        img = np.asarray(self.marcher.render(camera=view))
+        self.last_render_ms = (time.perf_counter() - t0) * 1e3
+        rgb = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=85)
+        return buf.getvalue()
+
+    def stats(self) -> dict:
+        ms = self.last_render_ms
+        return {
+            "frame": self.frame_index,
+            "render_ms": round(ms, 2),
+            "mrays_per_s": round(
+                self.width * self.height / max(ms, 1e-9) / 1e3, 1
+            ),
+        }
+
+
+_INDEX_HTML = """<!doctype html><title>sdfkit_tpu viewer</title>
+<body style="margin:0;background:#111;color:#ddd;font:14px monospace">
+<div id=t style="padding:6px">sdfkit_tpu</div>
+<img src="/stream" style="max-width:100%">
+<script>
+setInterval(async () => {
+  const s = await (await fetch('/stats')).json();
+  document.getElementById('t').textContent =
+    `sdfkit_tpu - frame ${s.frame} - ${s.render_ms} ms (${s.mrays_per_s} Mrays/s)`;
+  document.title = `${s.render_ms} ms`;
+}, 500);
+</script>"""
+
+
+def serve(viewer: LiveViewer, port: int = 0):
+    """Start the HTTP viewer; returns the (bound) server. Call
+    ``serve_forever`` on it (the CLI does) or drive it from a thread."""
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/frame"):
+                body = viewer.render_frame()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/stats"):
+                body = json.dumps(viewer.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/stream"):
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame",
+                )
+                self.end_headers()
+                try:
+                    while True:
+                        jpg = viewer.render_frame()
+                        self.wfile.write(
+                            b"--frame\r\nContent-Type: image/jpeg\r\n"
+                            + f"Content-Length: {len(jpg)}\r\n\r\n".encode()
+                        )
+                        self.wfile.write(jpg)
+                        self.wfile.write(b"\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # tab closed
+            else:
+                self.send_error(404)
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="sphere_repeat", choices=sorted(scenes()))
@@ -53,12 +174,25 @@ def main() -> int:
     ap.add_argument("--orbit", type=int, default=0, metavar="N",
                     help="render N frames orbiting the origin (out gets -000 suffixes)")
     ap.add_argument("--distance", type=float, default=5.0)
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve a live orbiting MJPEG view at "
+                         "http://127.0.0.1:PORT/ instead of writing files")
     args = ap.parse_args()
 
     import sdfkit_tpu as sk
 
     w, h = (int(v) for v in args.size.split("x"))
     scene = scenes()[args.scene]()
+
+    if args.serve is not None:
+        viewer = LiveViewer(scene, w, h, distance=args.distance)
+        server = serve(viewer, args.serve)
+        print(f"live view: http://127.0.0.1:{server.server_address[1]}/")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
 
     if args.orbit <= 0:
         img = np.asarray(sk.render(scene, w, h, camera_position=(-2, 2, 4)))
