@@ -42,6 +42,21 @@ FLT_EPSILON = 1e-7  # MarchingCubes.cs:37, Cell.cs:63
 N_PROGRESS_SLABS = 8
 
 
+def _native():
+    """The C++ host kernels (sdfkit_tpu/native), or None to use the numpy
+    fallbacks. SDFKIT_TPU_NO_NATIVE=1 forces numpy (used by the parity
+    tests, and an escape hatch on hosts without g++)."""
+    import os
+
+    if os.environ.get("SDFKIT_TPU_NO_NATIVE"):
+        return None
+    try:
+        from sdfkit_tpu import native
+    except Exception:
+        return None
+    return native if native.available() else None
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _classify_slab(values, iso, z0_grid, step: int, lx: int, ly: int, m: int):
     """Dense phase (on device): MC case byte of every cell in a z-slab of
@@ -563,15 +578,25 @@ def _sparse_phase(voxels, active, case_index, v8, colors, step: int, lx: int,
     kz = acz[stream_cell] + step * luts.KEY_OZ[svi]
     kj = luts.KEY_J[svi].astype(np.int64)
     keys = ((kz.astype(np.int64) * ny + ky) * nx + kx) * 4 + kj
-    if 4 * nx * ny * nz < 2**31:
-        keys = keys.astype(np.int32)
 
-    uniq, first_idx, inv = np.unique(keys, return_index=True, return_inverse=True)
-    order = np.argsort(first_idx, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(order.size)
-    vertex_id = rank[inv]  # per stream entry
-    rep = first_idx[order]  # representative stream entry per vertex
+    nat = _native()
+    if nat is not None and 4 * nx * ny * nz >= 2**31:
+        # Grids too large for int32 keys: the single-pass C++ weld beats
+        # numpy's int64 unique chain (bitwise-identical output, pinned in
+        # tests/test_native.py). At int32 scale numpy's nearly-sorted-input
+        # unique is faster, so it keeps the common case.
+        vertex_id, rep = nat.weld(keys)
+    else:
+        if 4 * nx * ny * nz < 2**31:
+            keys = keys.astype(np.int32)
+        uniq, first_idx, inv = np.unique(
+            keys, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.size)
+        vertex_id = rank[inv]  # per stream entry
+        rep = first_idx[order]  # representative stream entry per vertex
     LAST_TIMINGS["dispatch_weld_ms"] = (_time.perf_counter() - t0) * 1e3
 
     # --- vertex positions (host, f64) + on-device color interpolation
@@ -682,7 +707,15 @@ def _sparse_phase(voxels, active, case_index, v8, colors, step: int, lx: int,
     normals = np.zeros((n_verts, 3), np.float32)
 
     se_m = svi < 12
-    if se_m.any():
+    if se_m.any() and nat is not None:
+        # Single C++ pass over the stream: per-entry endpoint weights times
+        # packed-indexed corner gradients, accumulated straight into the
+        # welded vertex rows (sparse_phase.cc grad_edges).
+        nat.grad_edges(
+            svi[se_m], stream_cell[se_m], vertex_id[se_m], v8, vg, normals,
+            FLT_EPSILON,
+        )
+    elif se_m.any():
         # The contribution of a face reference depends only on its
         # (cell, edge) pair, and so does its weld key — so identical pairs
         # (the same vertex referenced by several triangles of one cell's
