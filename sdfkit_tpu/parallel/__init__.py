@@ -3,6 +3,7 @@
 psum'd grads), plus multi-host initialization helpers."""
 
 from sdfkit_tpu.parallel.distributed import initialize, make_mesh
+from sdfkit_tpu.parallel.elastic import render_tiles_resumable
 from sdfkit_tpu.parallel.marching import create_mesh_sharded
 from sdfkit_tpu.parallel.train import (
     render_sharded,
@@ -15,6 +16,7 @@ __all__ = [
     "initialize",
     "make_mesh",
     "render_sharded",
+    "render_tiles_resumable",
     "train_step_sharded",
     "voxelize_sharded",
 ]
