@@ -169,6 +169,11 @@ def fit(
     view = default_view() if view is None else jnp.asarray(view, jnp.float32)
     ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
 
+    if mesh is not None and backend == "fused":
+        raise ValueError(
+            "backend='fused' is per-chip only; the mesh= path renders with "
+            "the jnp path under shard_map (pass backend='auto' or 'jnp')"
+        )
     target_sh = rays_sh = None
     if mesh is not None:
         from sdfkit_tpu.parallel.train import _pad_rows, shard_rays

@@ -27,13 +27,16 @@ def _build() -> str | None:
     try:
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            tmp = _LIB + ".tmp"
+            # Per-process tmp name + atomic rename: concurrent first-use
+            # builds (pytest workers, bench + tests) each compile their own
+            # file and the last rename wins with a complete library.
+            tmp = f"{_LIB}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
                  "-o", tmp],
                 check=True, capture_output=True, timeout=120,
             )
-            os.replace(tmp, _LIB)  # atomic for concurrent test workers
+            os.replace(tmp, _LIB)
         return _LIB
     except Exception:
         return None

@@ -24,6 +24,20 @@ from sdfkit_tpu.render.raymarch import RenderConfig, render_rays
 from sdfkit_tpu.utils.camera import camera_rays, default_view
 
 
+def _scene_fingerprint(sdf) -> str:
+    """Stable hash of the SDF's tree structure and parameter values."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr(jax.tree_util.tree_structure(sdf)).encode())
+    for leaf in jax.tree_util.tree_leaves(sdf):
+        a = np.asarray(leaf)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
+
+
 def render_tiles_resumable(
     sdf,
     width: int,
@@ -53,6 +67,12 @@ def render_tiles_resumable(
         "height": height,
         "tile_rows": tile_rows,
         "view": np.asarray(view).tolist(),
+        # Tiles are only reusable for the SAME scene and render settings:
+        # fingerprint the SDF (tree structure + parameter bytes) and the
+        # full RenderConfig so a resumed run with a different job is
+        # rejected instead of silently mixing stale tiles into the frame.
+        "scene": _scene_fingerprint(sdf),
+        "config": repr(cfg),
     }
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -80,6 +100,17 @@ def render_tiles_resumable(
         from sdfkit_tpu.parallel.train import _pad_rows, shard_rays
 
         axis = mesh.axis_names[0]
+        # One jitted program shared by every tile (full tiles have one
+        # shape, the tail tile at most one more) — building the wrapper
+        # inside the loop would retrace/recompile per tile.
+        local = lambda sdf, ro, rd: render_rays(sdf, ro, rd, cfg)
+        shmapped = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis)),
+                out_specs=P(axis),
+            )
+        )
 
         def render_tile(ro_t, rd_t):
             (ro_p, orig), (rd_p, _) = (
@@ -87,15 +118,7 @@ def render_tiles_resumable(
                 _pad_rows(rd_t, mesh.devices.size),
             )
             ro_p, rd_p = shard_rays(mesh, ro_p, rd_p)
-            local = lambda sdf, ro, rd: render_rays(sdf, ro, rd, cfg)
-            img = jax.jit(
-                jax.shard_map(
-                    local, mesh=mesh,
-                    in_specs=(P(), P(axis), P(axis)),
-                    out_specs=P(axis),
-                )
-            )(sdf, ro_p, rd_p)
-            return img[:orig]
+            return shmapped(sdf, ro_p, rd_p)[:orig]
 
     else:
 

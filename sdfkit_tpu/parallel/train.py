@@ -25,9 +25,10 @@ from sdfkit_tpu.render.raymarch import (
 from sdfkit_tpu.utils.camera import camera_rays, default_view
 
 
-def _ray_specs():
-    # V3 pytrees: shard the leading (row) axis of every component.
-    return P("rays")
+def _ray_specs(mesh: Mesh):
+    # V3 pytrees: shard the leading (row) axis of every component over the
+    # mesh's first axis (matching shard_rays' placement).
+    return P(mesh.axis_names[0])
 
 
 def shard_rays(mesh: Mesh, *arrays):
@@ -88,8 +89,8 @@ def render_sharded(
     shmapped = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), _ray_specs(), _ray_specs()),
-        out_specs=_ray_specs(),
+        in_specs=(P(), _ray_specs(mesh), _ray_specs(mesh)),
+        out_specs=_ray_specs(mesh),
     )
     return jax.jit(shmapped)(sdf, ro, rd)[:height]
 
@@ -101,8 +102,8 @@ def _train_step_impl(mesh, sdf, ro, rd, cfg, target, lr, n_real_rows):
         img = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), _ray_specs(), _ray_specs()),
-            out_specs=_ray_specs(),
+            in_specs=(P(), _ray_specs(mesh), _ray_specs(mesh)),
+            out_specs=_ray_specs(mesh),
         )(sdf, ro, rd)
         # Padded rows (duplicated last row) are masked out of the loss so
         # the mean matches the unpadded computation exactly.

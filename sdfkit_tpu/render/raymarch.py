@@ -207,7 +207,15 @@ class RayMarcher:
                 int(_np.prod(jnp.shape(l))) if jnp.shape(l) else 1
                 for l in jax.tree_util.tree_leaves(sdf)
             )
-            backend = "fused" if n_scalars <= MAX_FUSED_PARAM_SCALARS else "jnp"
+            # The Pallas kernel wins on TPU; on CPU it would run in (slow)
+            # interpret mode, so XLA keeps that case (same rule as
+            # fit._pick_fit_backend). Oversized trees exceed its SMEM cap.
+            backend = (
+                "jnp"
+                if jax.default_backend() == "cpu"
+                or n_scalars > MAX_FUSED_PARAM_SCALARS
+                else "fused"
+            )
         if backend not in ("fused", "jnp"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend

@@ -53,7 +53,13 @@ class LiveViewer:
     a single `/frame.jpg`, and `/stats` (last render ms / effective Mrays/s,
     the title-text analogue, polled by the index page)."""
 
+    # Streams are paced so a backgrounded tab doesn't keep the device
+    # rendering at full rate; N viewers share one render loop via the lock.
+    MAX_STREAM_FPS = 10.0
+
     def __init__(self, scene, width: int, height: int, distance: float = 5.0):
+        import threading
+
         import sdfkit_tpu as sk
 
         self._sk = sk
@@ -61,6 +67,9 @@ class LiveViewer:
         self.marcher = sk.RayMarcher(width, height, scene)
         self.frame_index = 0
         self.last_render_ms = 0.0
+        # ThreadingHTTPServer handles each connection on its own thread;
+        # the lock serializes device renders and the stats they update.
+        self._lock = threading.Lock()
 
     def render_frame(self) -> bytes:
         """Next orbit frame as JPEG bytes; updates the stats."""
@@ -70,16 +79,18 @@ class LiveViewer:
         from PIL import Image
 
         sk = self._sk
-        a = 0.03 * self.frame_index
-        self.frame_index += 1
-        view = sk.look_at(
-            (self.distance * math.sin(a), 2.0, self.distance * math.cos(a)),
-            (0, 0, 0),
-            (0, 1, 0),
-        )
-        t0 = time.perf_counter()
-        img = np.asarray(self.marcher.render(camera=view))
-        self.last_render_ms = (time.perf_counter() - t0) * 1e3
+        with self._lock:
+            a = 0.03 * self.frame_index
+            self.frame_index += 1
+            view = sk.look_at(
+                (self.distance * math.sin(a), 2.0,
+                 self.distance * math.cos(a)),
+                (0, 0, 0),
+                (0, 1, 0),
+            )
+            t0 = time.perf_counter()
+            img = np.asarray(self.marcher.render(camera=view))
+            self.last_render_ms = (time.perf_counter() - t0) * 1e3
         rgb = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(rgb).save(buf, "JPEG", quality=85)
@@ -150,7 +161,11 @@ def serve(viewer: LiveViewer, port: int = 0):
                 )
                 self.end_headers()
                 try:
+                    import time as _time
+
+                    period = 1.0 / viewer.MAX_STREAM_FPS
                     while True:
+                        t0 = _time.perf_counter()
                         jpg = viewer.render_frame()
                         self.wfile.write(
                             b"--frame\r\nContent-Type: image/jpeg\r\n"
@@ -158,6 +173,9 @@ def serve(viewer: LiveViewer, port: int = 0):
                         )
                         self.wfile.write(jpg)
                         self.wfile.write(b"\r\n")
+                        sleep = period - (_time.perf_counter() - t0)
+                        if sleep > 0:
+                            _time.sleep(sleep)
                 except (BrokenPipeError, ConnectionResetError):
                     pass  # tab closed
             else:
