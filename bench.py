@@ -477,10 +477,45 @@ def bench_mesh(n: int = 256) -> dict:
         if best is None or dt < best:
             best = dt
             best_split = {k: round(x, 1) for k, x in _mc.LAST_TIMINGS.items()}
-    return {
+    out = {
         f"mesh_{n}^3_ms": round(best * 1e3, 1),
         f"mesh_{n}^3_vertices": len(m.vertices),
         f"mesh_{n}^3_phase_ms": best_split,
+    }
+    out.update(_bench_mesh_seq_baseline(v, n, len(m.vertices)))
+    return out
+
+
+def _bench_mesh_seq_baseline(v, n: int, our_verts: int) -> dict:
+    """Measured stand-in for the reference's meshing throughput: the
+    environment has no dotnet, so the single-threaded C++ per-cell loop in
+    sdfkit_tpu/native/mc_host.cc — same cost structure as the reference's
+    sequential MarchingCubes.CreateMesh + Cell (per-cell 8-value + 8-color
+    SetCube, LUT dispatch, rolling face-layer dedup, inverse-|value|
+    interpolation, gradient normals; MarchingCubes.cs:53-80, Cell.cs:123-359)
+    — is timed on the SAME grid. C++ is, if anything, faster than the C#
+    original, so beating this number is conservative. The grid fetch to host
+    is untimed (the reference's grid already lives in host memory)."""
+    import numpy as np
+
+    from sdfkit_tpu import native
+
+    if not native.available():
+        return {}
+    values = np.asarray(v.values)
+    colors = np.asarray(v.colors)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_verts, _ = native.mc_sequential_baseline(values, colors, 1, 0.0)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    assert n_verts == our_verts, (n_verts, our_verts)
+    return {
+        f"mesh_{n}^3_seq_baseline_ms": round(best * 1e3, 1),
+        f"mesh_{n}^3_seq_baseline_Mcells_per_s": round(
+            (n - 1) ** 3 / best / 1e6, 1
+        ),
     }
 
 

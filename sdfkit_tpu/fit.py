@@ -108,6 +108,43 @@ def _fit_step_fused(optimizer, cfg, sdf, opt_state, target, view):
     return sdf, opt_state, loss
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 6))
+def _fit_step_sharded_fused(optimizer, cfg, mesh, sdf, opt_state, target_sh,
+                            n_real_rows, view):
+    """The sharded fit step with the fused Pallas kernels as the per-band
+    renderer: forward AND backward are one kernel per device row band
+    (raymarch_kernel.render_rows_fused and its custom VJP); shard_map's
+    replicated in-spec psums the parameter gradients over ICI, and the same
+    optax chain as the single-device step runs on the reduced gradient."""
+    from jax.sharding import PartitionSpec as P
+
+    from sdfkit_tpu.render.pallas import raymarch_kernel as rk
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    rows_local = -(-cfg.height // n)
+
+    def loss_fn(sdf):
+        ivp, cam = rk._view_to_ivp_cam(view, cfg)
+
+        def local(sdf, ivp, cam):
+            pix0 = jax.lax.axis_index(axis) * (rows_local * cfg.width)
+            return rk.render_rows_fused(sdf, ivp, cam, pix0, cfg, rows_local)
+
+        img = jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(axis),
+            check_vma=False,
+        )(sdf, ivp, cam)
+        row = jnp.arange(img.shape[0])[:, None, None]
+        se = jnp.where(row < n_real_rows, (img - target_sh) ** 2, 0.0)
+        return jnp.sum(se) / (n_real_rows * img.shape[1] * img.shape[2])
+
+    loss, grads = jax.value_and_grad(loss_fn)(sdf)
+    updates, opt_state = optimizer.update(grads, opt_state, sdf)
+    sdf = optax.apply_updates(sdf, updates)
+    return sdf, opt_state, loss
+
+
 def _pick_fit_backend(backend: str, sdf) -> str:
     if backend != "auto":
         if backend not in ("fused", "jnp"):
@@ -158,10 +195,10 @@ def fit(
     and optimizer state are replicated, and the parameter-gradient
     all-reduce rides ICI. The full optax chain (including the load-bearing
     global-norm clipping), checkpointing and resume behave exactly as on a
-    single device; the renderer under shard_map is the jnp path (the Pallas
-    kernels are per-chip and the per-shard win does not yet justify the
-    extra variant). ``parallel.train_step_sharded`` remains the low-level
-    one-step primitive this loop supersedes.
+    single device. ``backend`` composes with ``mesh``: the fused path runs
+    the Pallas forward+backward kernels per device row band
+    (_fit_step_sharded_fused). ``parallel.train_step_sharded`` remains the
+    low-level one-step primitive this loop supersedes.
     """
     target = jnp.asarray(target, jnp.float32)
     height, width = target.shape[:2]
@@ -169,11 +206,6 @@ def fit(
     view = default_view() if view is None else jnp.asarray(view, jnp.float32)
     ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
 
-    if mesh is not None and backend == "fused":
-        raise ValueError(
-            "backend='fused' is per-chip only; the mesh= path renders with "
-            "the jnp path under shard_map (pass backend='auto' or 'jnp')"
-        )
     target_sh = rays_sh = None
     if mesh is not None:
         from sdfkit_tpu.parallel.train import _pad_rows, shard_rays
@@ -222,7 +254,11 @@ def fit(
     backend = _pick_fit_backend(backend, sdf)
     losses: list[float] = []
     for step in range(start_step, steps):
-        if mesh is not None:
+        if mesh is not None and backend == "fused":
+            sdf, opt_state, loss = _fit_step_sharded_fused(
+                optimizer, cfg, mesh, sdf, opt_state, target_sh, height, view
+            )
+        elif mesh is not None:
             sdf, opt_state, loss = _fit_step_sharded(
                 optimizer, cfg, mesh, sdf, opt_state, target_sh, rays_sh,
                 height,

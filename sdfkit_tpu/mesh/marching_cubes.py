@@ -96,47 +96,74 @@ def _classify_slab(values, iso, z0_grid, step: int, lx: int, ly: int, m: int):
     return bits, mask
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _gather_all(values, bits, mask, step: int, lx: int, ly: int, size: int):
-    """Compaction + corner gather (on device) over the WHOLE volume in one
-    dispatch: active-cell flat indices ((z, y, x) order), their case bytes
-    and 8 corner values (8, size). ``size`` is a static bucket >= the true
-    count (multiples of 32768 — callers fetch the whole bucket and trim on
-    host, so at most ~1.3 MB of padding ever crosses the link).
-
-    Compaction is cumsum + searchsorted (the j-th active cell is the first
-    index whose running count reaches j+1) — 2x faster on TPU than
-    jnp.nonzero's scatter, and the corner reads are 1-D flat-index takes,
-    which XLA lowers far better than 3-D coordinate gathers (~6x). Corner
-    colors are NOT gathered — vertex colors are interpolated on device from
-    the resident color grid after welding (see _sparse_phase), which removes
-    the dominant device→host transfer entirely."""
-    nx, ny, nz = values.shape
-    vflat = values.reshape(-1)
-    csum = jnp.cumsum(mask.astype(jnp.int32))
-    targets = jnp.arange(1, size + 1, dtype=jnp.int32)
-    idx = jnp.minimum(
-        jnp.searchsorted(csum, targets, side="left"), csum.shape[0] - 1
-    ).astype(jnp.int32)
-    cx = (idx % lx) * step
-    cy = ((idx // lx) % ly) * step
-    cz = (idx // (lx * ly)) * step
-    base = (cx * ny + cy) * nz + cz
-    v8 = jnp.stack(
-        [
-            jnp.take(
-                vflat,
-                base
-                + (
-                    (int(luts.CORNER_DX[k]) * ny + int(luts.CORNER_DY[k])) * nz
-                    + int(luts.CORNER_DZ[k])
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _point_mask(mask, lx: int, ly: int, lz: int):
+    """Dilate the flat (z, y, x)-ordered active-cell mask to the mask of
+    UNIQUE corner grid points (point grid (lz+1, ly+1, lx+1), flat z-major):
+    point p is set iff any of the up-to-8 cells it corners is active. The
+    device phase ships the values of exactly these points — ~4x fewer bytes
+    than an 8-corner-per-cell stream, and the host rebuilds the per-cell
+    corner values from them (mc_host.cc mc_sparse_run)."""
+    m3 = mask.reshape(lz, ly, lx)
+    pm = jnp.zeros((lz + 1, ly + 1, lx + 1), bool)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                pm = pm | jnp.pad(
+                    m3, ((dz, 1 - dz), (dy, 1 - dy), (dx, 1 - dx))
                 )
-                * step,
-            )
-            for k in range(8)
-        ]
+    return pm.reshape(-1)
+
+
+@jax.jit
+def _counts2(mask, pmask):
+    return jnp.stack(
+        [jnp.sum(mask.astype(jnp.int32)), jnp.sum(pmask.astype(jnp.int32))]
     )
-    return idx, jnp.take(bits, idx), v8
+
+
+@jax.jit
+def _pack_bits(mask):
+    """Pack the flat cell mask into uint32 words (bit k of word w =
+    mask[w*32 + k]). The host decodes active-cell indices from this 1
+    bit/cell stream with a ctz scan (mc_host.cc decode_bits_i64) — shipping
+    the bitmap replaces an on-device cumsum+searchsorted compaction that
+    cost 91 ms at 16.6M cells with a ~10 ms multiply-reduce pack."""
+    n = mask.shape[0]
+    pad = (-n) % 32
+    m = jnp.pad(mask, (0, pad)).reshape(-1, 32).astype(jnp.uint32)
+    return jnp.sum(
+        m << jnp.arange(32, dtype=jnp.uint32), axis=1, dtype=jnp.uint32
+    )
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _scatter_point_values(values, pmask, step: int, lx: int, ly: int,
+                          lz: int, psize: int):
+    """Values of the unique corner points, compacted in ascending
+    point-flat-id order, via cumsum + scatter (measured faster than
+    searchsorted for the point phase: 105 vs 143 ms). The dense per-point
+    value array is a strided slice + transpose of the value grid — no
+    index gathers at all. ``psize`` is a static bucket >= the true count
+    (multiple of 32768; callers trim on host).
+
+    Per-cell corner values and case bytes are NOT shipped: the host
+    rebuilds both from these point values (bitmap+rank in mc_host.cc;
+    np.unique in the numpy fallback), cutting the dominant device→host
+    transfer ~4x vs an 8-corner-per-cell stream. Corner colors are not
+    gathered either — vertex colors are interpolated on device from the
+    resident color grid after welding (see _sparse_phase)."""
+    pv_dense = jax.lax.slice(
+        values,
+        (0, 0, 0),
+        (lx * step + 1, ly * step + 1, lz * step + 1),
+        (step, step, step),
+    )  # (lx+1, ly+1, lz+1) value at every point
+    pv_dense = pv_dense.transpose(2, 1, 0).reshape(-1)  # point-id order
+    psum = jnp.cumsum(pmask.astype(jnp.int32))
+    pos = jnp.where(pmask, psum - 1, psize)
+    out = jnp.zeros((psize + 1,), values.dtype)
+    return out.at[pos].set(pv_dense, mode="drop")[:psize]
 
 
 def _fetch_bucket(count: int) -> int:
@@ -144,6 +171,44 @@ def _fetch_bucket(count: int) -> int:
     the number of distinct jit shapes without padding transfers by more than
     ~1.3 MB."""
     return -(-count // 32768) * 32768
+
+
+@jax.jit
+def _edge_vertex_colors_from_grid(values_flat, colors_flat, base, vi, off1,
+                                  off2, iso):
+    """Edge-vertex colors computed ENTIRELY from the device-resident grids:
+    endpoint flat ids come from the cell base + per-edge offset LUTs, and
+    the inverse-|value| weights (Cell.cs:298-311) are recomputed from the
+    value grid in f32 — so the host uploads only (base, vi) per vertex,
+    ~2.4x less than shipping i1/i2/w1. The f32 weight differs from the host
+    f64 one by <= 1 ulp, i.e. colors drift <= ~1e-7 vs the numpy path."""
+    vi = vi.astype(jnp.int32)
+    i1 = base + jnp.take(off1, vi)
+    i2 = base + jnp.take(off2, vi)
+    va = jnp.take(values_flat, i1) - iso
+    vb = jnp.take(values_flat, i2) - iso
+    eps = jnp.float32(FLT_EPSILON)
+    t1 = 1.0 / (eps + jnp.abs(va))
+    t2 = 1.0 / (eps + jnp.abs(vb))
+    w = (t1 / (t1 + t2))[:, None]
+    return jnp.take(colors_flat, i1, axis=0) * w + jnp.take(
+        colors_flat, i2, axis=0
+    ) * (1.0 - w)
+
+
+@jax.jit
+def _center_vertex_colors_from_grid(values_flat, colors_flat, base, deltas,
+                                    iso):
+    """Center-vertex (v12) colors from the device-resident grids: 8-corner
+    inverse-|value| weighted blend (Cell.CalculateCenterVertex,
+    Cell.cs:501-549) with the strengths recomputed on device in f32."""
+    ids = (base[:, None] + deltas[None, :]).reshape(-1)
+    n = base.shape[0]
+    vv = jnp.take(values_flat, ids).reshape(n, 8) - iso
+    s = 1.0 / (jnp.float32(FLT_EPSILON) + jnp.abs(vv))
+    w = s / jnp.sum(s, axis=1, keepdims=True)
+    c = jnp.take(colors_flat, ids, axis=0).reshape(n, 8, 3)
+    return jnp.sum(c * w[:, :, None], axis=1)
 
 
 @jax.jit
@@ -462,29 +527,31 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         return mesh
 
     # --- dense phase ON DEVICE, one z-slab classify at a time (all device-
-    #     resident, no per-slab syncs), then ONE compaction + corner gather
-    #     over the whole volume. Only O(surface) bytes cross to the host, and
-    #     only the true count (no bucket padding) is ever transferred.
-    #     Progress fires per slab during the sweep (the reference reports
-    #     once per z layer inside its loop, MarchingCubes.cs:81). ---
+    #     resident, no per-slab syncs), then ONE compaction over the whole
+    #     volume. Only O(surface) bytes cross to the host: the active-cell
+    #     indices and the UNIQUE corner-point values (~4x fewer bytes than
+    #     an 8-corner-per-cell stream; the tunneled link runs at
+    #     ~10-30 MB/s, so bytes are the budget). Progress fires per slab
+    #     during the sweep (the reference reports once per z layer inside
+    #     its loop, MarchingCubes.cs:81). ---
     t0 = _time.perf_counter()
     lx, ly, lz = xs.size, ys.size, zs.size
     slab = max(1, -(-lz // N_PROGRESS_SLABS))
     iso32 = jnp.float32(iso)
-    bits_parts, mask_parts = [], []
+    mask_parts = []
     for s0 in range(0, lz, slab):
         m = min(slab, lz - s0)
-        bits, mask = _classify_slab(
+        _, mask = _classify_slab(
             values_dev, iso32, s0 * step, step, lx, ly, m
         )
-        bits_parts.append(bits)
         mask_parts.append(mask)
         if progress is not None:
             for z in zs[s0 : s0 + m]:
                 progress(float(z) / nz_bound)
-    bits_all = jnp.concatenate(bits_parts) if len(bits_parts) > 1 else bits_parts[0]
     mask_all = jnp.concatenate(mask_parts) if len(mask_parts) > 1 else mask_parts[0]
-    count = int(jnp.sum(mask_all.astype(jnp.int32)))  # the ONE dense-phase sync
+    pmask = _point_mask(mask_all, lx, ly, lz)
+    counts = np.asarray(_counts2(mask_all, pmask))  # the ONE dense-phase sync
+    count, pcount = int(counts[0]), int(counts[1])
     LAST_TIMINGS.clear()
     LAST_TIMINGS["dense_classify_ms"] = (_time.perf_counter() - t0) * 1e3
 
@@ -494,20 +561,65 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         )
 
     t0 = _time.perf_counter()
-    size = _fetch_bucket(count)
-    idx, case8, v8 = _gather_all(values_dev, bits_all, mask_all, step, lx, ly, size)
-    # Start all host copies now; the small ones are consumed immediately, the
-    # 8-corner values stream over the link WHILE the host computes cell
-    # coordinates and case/config (see _sparse_phase).
-    idx.copy_to_host_async()
-    case8.copy_to_host_async()
-    v8.copy_to_host_async()
-    active = np.asarray(idx)[:count].astype(np.int64)
-    case_index = np.asarray(case8)[:count].astype(np.int64)
+    psize = _fetch_bucket(pcount)
+    # Two dispatches so the cell-bitmap transfer overlaps the point-value
+    # compaction on device; both host copies start async and the point
+    # values stream over the link WHILE the host decodes the bitmap and
+    # builds its corner index (mc_host.cc).
+    cellbits = _pack_bits(mask_all)
+    cellbits.copy_to_host_async()
+    pvals = _scatter_point_values(values_dev, pmask, step, lx, ly, lz, psize)
+    pvals.copy_to_host_async()
+    words = np.asarray(cellbits)
+    nat = _native()
+    if nat is not None:
+        active = nat.decode_bits(words, count)
+    else:
+        bools = np.unpackbits(words.view(np.uint8), bitorder="little")
+        active = np.flatnonzero(bools[: lx * ly * lz]).astype(np.int64)
+        assert active.size == count
     LAST_TIMINGS["gather_fetch_ms"] = (_time.perf_counter() - t0) * 1e3
 
+    if nat is not None and nx * ny * nz < 2**31:
+        # Bounds now, while the device queue is short: a tiny fetch issued
+        # after the color dispatches would serialize behind them on the
+        # tunneled link (~0.4 s stall observed). Cached on the Voxels.
+        size_center = voxels.host_bounds()
+        mesh = _sparse_phase_native(
+            voxels, active, (pvals, pcount), values_dev, colors_dev, step,
+            lx, ly, lz, iso, nat, size_center,
+        )
+        if mesh is not None:
+            return mesh
+
+    # Numpy fallback: rebuild the per-cell corner values and case bytes from
+    # the point values, then run the vectorized sparse phase.
+    t0 = _time.perf_counter()
+    pv = np.asarray(pvals)[:pcount]
+    acx = active % lx
+    acy = (active // lx) % ly
+    acz = active // (lx * ly)
+    cp = (
+        (acz[None, :] + luts.CORNER_DZ.astype(np.int64)[:, None])
+        * (ly + 1)
+        + (acy[None, :] + luts.CORNER_DY.astype(np.int64)[:, None])
+    ) * (lx + 1) + (acx[None, :] + luts.CORNER_DX.astype(np.int64)[:, None])
+    uniq, inv = np.unique(cp.reshape(-1), return_inverse=True)
+    if uniq.size != pcount:  # host/device disagree on the corner-point set
+        raise AssertionError(
+            f"corner-point reconstruction mismatch: host {uniq.size} vs "
+            f"device {pcount}"
+        )
+    v8_raw = pv[inv.reshape(8, -1)]  # f32, MC corner numbering
+    iso_f = np.float32(iso)
+    case_index = (
+        (v8_raw > iso_f).astype(np.int64)
+        * (1 << np.arange(8, dtype=np.int64))[:, None]
+    ).sum(axis=0)
+    LAST_TIMINGS["v8_reconstruct_ms"] = (_time.perf_counter() - t0) * 1e3
+
     return _sparse_phase(
-        voxels, active, case_index, (v8, count), colors_dev, step, lx, ly, iso
+        voxels, active, case_index, v8_raw, colors_dev, step, lx, ly, iso
     )
 
 
@@ -615,6 +727,7 @@ def _sparse_phase(voxels, active, case_index, v8, colors, step: int, lx: int,
             "color interpolation flat ids need int64; grids this large do "
             "not fit device memory anyway"
         )
+    values_flat = jnp.asarray(voxels.values, jnp.float32).reshape(-1)
     colors_flat = jnp.asarray(colors, jnp.float32).reshape(-1, 3)
     edge_cols_dev = center_cols_dev = None
 
@@ -647,22 +760,29 @@ def _sparse_phase(voxels, active, case_index, v8, colors, step: int, lx: int,
         verts[edge_m, 1] = ey + step * (d1y * t1 + d2y * t2) / ff
         verts[edge_m, 2] = ez + step * (d1z * t1 + d2z * t2) / ff
 
-        # Launch the device color blend now; fetch after the gradient pass.
-        i1 = ((ex + step * rel1x) * ny + (ey + step * rel1y)) * nz + (
-            ez + step * rel1z
-        )
-        i2 = ((ex + step * rel2x) * ny + (ey + step * rel2y)) * nz + (
-            ez + step * rel2z
-        )
+        # Launch the device color blend now (weights recomputed on device
+        # from the value grid, f32 — same kernel as the native fast path so
+        # every path's colors are bit-identical); fetch after the gradient
+        # pass.
+        base_e = (ex * ny + ey) * nz + ez
         n_e = int(edge_m.sum())
         nb = -(-n_e // 4096) * 4096  # bucketed shapes bound recompiles
         pad = nb - n_e
-        w1 = (t1 / ff).astype(np.float32)
-        edge_cols_dev = _edge_vertex_colors(
-            colors_flat,
-            jnp.asarray(np.pad(i1.astype(np.int32), (0, pad))),
-            jnp.asarray(np.pad(i2.astype(np.int32), (0, pad))),
-            jnp.asarray(np.pad(w1, (0, pad))),
+        off1 = (
+            (luts.edgesrelx[:, 0].astype(np.int64) * ny
+             + luts.edgesrely[:, 0]) * nz + luts.edgesrelz[:, 0]
+        ) * step
+        off2 = (
+            (luts.edgesrelx[:, 1].astype(np.int64) * ny
+             + luts.edgesrely[:, 1]) * nz + luts.edgesrelz[:, 1]
+        ) * step
+        edge_cols_dev = _edge_vertex_colors_from_grid(
+            values_flat, colors_flat,
+            jnp.asarray(np.pad(base_e.astype(np.int32), (0, pad))),
+            jnp.asarray(np.pad(evi.astype(np.uint8), (0, pad))),
+            jnp.asarray(off1.astype(np.int32)),
+            jnp.asarray(off2.astype(np.int32)),
+            jnp.float32(iso),
         )
         edge_cols_dev.copy_to_host_async()
 
@@ -687,12 +807,11 @@ def _sparse_phase(voxels, active, case_index, v8, colors, step: int, lx: int,
         k_c = int(center_m.sum())
         nb = -(-k_c // 1024) * 1024
         pad = nb - k_c
-        w8 = (strength / ff).T.astype(np.float32)  # (k, 8)
-        center_cols_dev = _center_vertex_colors(
-            colors_flat,
+        center_cols_dev = _center_vertex_colors_from_grid(
+            values_flat, colors_flat,
             jnp.asarray(np.pad(base.astype(np.int32), (0, pad))),
             jnp.asarray(deltas.astype(np.int32)),
-            jnp.asarray(np.pad(w8, ((0, pad), (0, 0)))),
+            jnp.float32(iso),
         )
         center_cols_dev.copy_to_host_async()
     LAST_TIMINGS["interp_ms"] = (_time.perf_counter() - t0) * 1e3
@@ -764,24 +883,120 @@ def _sparse_phase(voxels, active, case_index, v8, colors, step: int, lx: int,
         vcols[center_m] = np.asarray(center_cols_dev)[: int(center_m.sum())]
     LAST_TIMINGS["colors_wait_ms"] = (_time.perf_counter() - t0) * 1e3
 
-    # --- finalize: negative normalized normals (Cell.cs:97-109), world
-    #     transform (MarchingCubes.cs:84-91) ---
+    fverts, fnormals = _finalize_geometry(verts, normals, voxels, (nx, ny, nz))
+    return Mesh(fverts, vcols, fnormals, vertex_id.astype(np.int32))
+
+
+def _finalize_geometry(verts, normals, voxels, dims, size_center=None):
+    """Finalize: negative normalized normals (Cell.cs:97-109), index->world
+    transform (MarchingCubes.cs:84-91). ``verts`` are f64 index-space
+    positions; ``normals`` the f32 accumulated gradients. Returns
+    (f32 world vertices, f32 unit normals). ``size_center`` lets callers
+    pre-fetch the (tiny) bounds arrays BEFORE queueing device work — a fetch
+    issued while async dispatches are in flight waits behind them on the
+    tunneled link (observed as a ~0.4 s stall)."""
+    nx, ny, nz = dims
     normals = normals.astype(np.float64)
     norm = np.linalg.norm(normals, axis=1, keepdims=True)
     normals = -normals / np.where(norm > 0, norm, 1.0)
 
-    size = np.asarray(voxels.size, np.float64)
-    center = np.asarray(voxels.center, np.float64)
+    if size_center is None:
+        size_center = voxels.host_bounds()
+    size, center = size_center
     n = np.array([nx, ny, nz], np.float64)
     scale = size / (n - 1)
     verts = (verts - (n - 1) / 2.0) * scale + center
     normals = normals / scale
     nn = np.linalg.norm(normals, axis=1, keepdims=True)
     normals = normals / np.where(nn > 0, nn, 1.0)
+    return verts.astype(np.float32), normals.astype(np.float32)
 
-    return Mesh(
-        verts.astype(np.float32),
-        vcols,
-        normals.astype(np.float32),
-        vertex_id.astype(np.int32),
-    )
+
+def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
+                         lx: int, ly: int, lz: int, iso: float, nat,
+                         size_center) -> Mesh | None:
+    """Sparse phase via the phased C++ geometry kernels (mc_host.cc):
+    ``begin`` runs bitmap/rank corner reconstruction + MC33 dispatch +
+    first-occurrence welding + vertex interpolation; the on-device vertex-
+    color blends are launched from its outputs; then ``grad_finalize`` runs
+    the gradient-normal accumulation and world-space finalize ON HOST while
+    the color results stream back over the link. Returns None if the C++
+    side detects a host/device inconsistency (caller falls back to the
+    numpy path)."""
+    import time as _time
+
+    nx, ny, nz = np.shape(voxels.values)
+
+    t0 = _time.perf_counter()
+    arr, pcount = pvals
+    pv = np.asarray(arr)[:pcount]  # blocks until the async copy lands
+    LAST_TIMINGS["pvals_wait_ms"] = (_time.perf_counter() - t0) * 1e3
+
+    t0 = _time.perf_counter()
+    mc = nat.McSparse(active, pv, lx, ly, lz, nx, ny, nz, step, iso)
+    if not mc.ok:
+        return None
+    LAST_TIMINGS["native_geometry_ms"] = (_time.perf_counter() - t0) * 1e3
+
+    try:
+        # --- device color blends (Cell.AddFaceFromEdgeIndex /
+        #     CalculateCenterVertex color interpolation); their transfer
+        #     overlaps the C++ gradient pass below ---
+        t0 = _time.perf_counter()
+        ci = mc.color_inputs
+        values_flat = jnp.asarray(values, jnp.float32).reshape(-1)
+        colors_flat = jnp.asarray(colors, jnp.float32).reshape(-1, 3)
+        iso32 = jnp.float32(iso)
+        n_e, k_c = mc.n_edge, mc.n_center
+        edge_cols_dev = center_cols_dev = None
+        if n_e:
+            nb = -(-n_e // 4096) * 4096  # bucketed shapes bound recompiles
+            pad = nb - n_e
+            off1 = (
+                (luts.edgesrelx[:, 0].astype(np.int64) * ny
+                 + luts.edgesrely[:, 0]) * nz + luts.edgesrelz[:, 0]
+            ) * step
+            off2 = (
+                (luts.edgesrelx[:, 1].astype(np.int64) * ny
+                 + luts.edgesrely[:, 1]) * nz + luts.edgesrelz[:, 1]
+            ) * step
+            edge_cols_dev = _edge_vertex_colors_from_grid(
+                values_flat, colors_flat,
+                jnp.asarray(np.pad(ci["edge_base"], (0, pad))),
+                jnp.asarray(np.pad(ci["edge_vi"], (0, pad))),
+                jnp.asarray(off1.astype(np.int32)),
+                jnp.asarray(off2.astype(np.int32)),
+                iso32,
+            )
+            edge_cols_dev.copy_to_host_async()
+        if k_c:
+            nb = -(-k_c // 1024) * 1024
+            pad = nb - k_c
+            deltas = (
+                (luts.CORNER_DX.astype(np.int64) * ny + luts.CORNER_DY) * nz
+                + luts.CORNER_DZ
+            ) * step
+            center_cols_dev = _center_vertex_colors_from_grid(
+                values_flat, colors_flat,
+                jnp.asarray(np.pad(ci["center_base"], (0, pad))),
+                jnp.asarray(deltas.astype(np.int32)),
+                iso32,
+            )
+            center_cols_dev.copy_to_host_async()
+        LAST_TIMINGS["color_dispatch_ms"] = (_time.perf_counter() - t0) * 1e3
+
+        # --- gradient accumulation + finalize in C++ while colors stream ---
+        t0 = _time.perf_counter()
+        fverts, fnormals, stream = mc.grad_finalize(*size_center)
+        LAST_TIMINGS["grad_finalize_ms"] = (_time.perf_counter() - t0) * 1e3
+
+        t0 = _time.perf_counter()
+        vcols = np.zeros((mc.n_verts, 3), np.float32)
+        if edge_cols_dev is not None:
+            vcols[ci["edge_vid"]] = np.asarray(edge_cols_dev)[:n_e]
+        if center_cols_dev is not None:
+            vcols[ci["center_vid"]] = np.asarray(center_cols_dev)[:k_c]
+        LAST_TIMINGS["colors_wait_ms"] = (_time.perf_counter() - t0) * 1e3
+        return Mesh(fverts, vcols, fnormals, stream)
+    finally:
+        mc.close()

@@ -62,6 +62,22 @@ class Voxels:
             [self.nx, self.ny, self.nz], dtype=jnp.float32
         )
 
+    def host_bounds(self):
+        """(size, center) as float64 numpy, fetched from device once and
+        cached. The f32 host arithmetic matches the device's bit-for-bit
+        (same IEEE ops), so meshes finalize identically; the cache spares
+        repeat to_mesh calls two round trips each on a tunneled TPU link."""
+        cache = getattr(self, "_host_bounds", None)
+        if cache is None:
+            vmin = np.asarray(self.vmin, np.float32)
+            vmax = np.asarray(self.vmax, np.float32)
+            cache = (
+                (vmax - vmin).astype(np.float64),
+                ((vmin + vmax) * np.float32(0.5)).astype(np.float64),
+            )
+            object.__setattr__(self, "_host_bounds", cache)
+        return cache
+
     def clip_to_bounds(self) -> "Voxels":
         from sdfkit_tpu.ops.grid import clip_values_to_bounds
 

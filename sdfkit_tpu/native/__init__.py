@@ -18,24 +18,39 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "sparse_phase.cc")
+_SRCS = [
+    os.path.join(_DIR, "sparse_phase.cc"),
+    os.path.join(_DIR, "mc_host.cc"),
+]
+_HDRS = [os.path.join(_DIR, "_mc_luts.h")]
 _LIB = os.path.join(_DIR, "_sparse_phase.so")
 
 
 def _build() -> str | None:
     """Compile the shared library if missing or stale; None on failure."""
     try:
+        newest_src = max(os.path.getmtime(p) for p in _SRCS + _HDRS)
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < newest_src):
             # Per-process tmp name + atomic rename: concurrent first-use
             # builds (pytest workers, bench + tests) each compile their own
             # file and the last rename wins with a complete library.
             tmp = f"{_LIB}.{os.getpid()}.tmp"
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-                 "-o", tmp],
-                check=True, capture_output=True, timeout=120,
-            )
+            # -march=native matters: the bitmap/rank corner index does two
+            # popcounts per lookup, and without it __builtin_popcountll
+            # lowers to a libgcc call. Fall back to portable flags if the
+            # toolchain rejects it.
+            base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
+            try:
+                subprocess.run(
+                    base + ["-march=native", *_SRCS, "-o", tmp],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except subprocess.CalledProcessError:
+                subprocess.run(
+                    base + [*_SRCS, "-o", tmp],
+                    check=True, capture_output=True, timeout=120,
+                )
             os.replace(tmp, _LIB)
         return _LIB
     except Exception:
@@ -58,6 +73,36 @@ def _load():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_double, ctypes.c_void_p,
+        ]
+        lib.decode_bits_i64.restype = ctypes.c_int64
+        lib.decode_bits_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.mc_sparse_begin.restype = ctypes.c_void_p
+        lib.mc_sparse_begin.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,          # active, n_active
+            ctypes.c_void_p, ctypes.c_int64,          # pvals, n_points
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # lx, ly, lz
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # nx, ny, nz
+            ctypes.c_int64, ctypes.c_double,          # step, iso
+            ctypes.c_void_p,                          # counts out (4)
+        ]
+        lib.mc_sparse_color_inputs.restype = None
+        lib.mc_sparse_color_inputs.argtypes = [ctypes.c_void_p] + [
+            ctypes.c_void_p
+        ] * 5
+        lib.mc_sparse_grad_finalize.restype = None
+        lib.mc_sparse_grad_finalize.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.mc_sparse_free.restype = None
+        lib.mc_sparse_free.argtypes = [ctypes.c_void_p]
+        lib.mc_sequential_baseline.restype = ctypes.c_int64
+        lib.mc_sequential_baseline.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_void_p,
         ]
         return lib
     except OSError:
@@ -108,3 +153,96 @@ def grad_edges(evi, ecell, vid, v8, vg, normals, eps: float) -> None:
         _ptr(p1), _ptr(p2), _ptr(mc1), _ptr(mc2),
         ctypes.c_double(eps), _ptr(normals),
     )
+
+
+def decode_bits(words: np.ndarray, count: int) -> np.ndarray:
+    """Active-cell indices from the packed uint32 bitmap (mc_host.cc
+    decode_bits_i64). ``count`` is the known popcount (from the device count
+    sync); the decode asserts it matches."""
+    words = np.ascontiguousarray(words, np.uint32)
+    out = np.empty(count, np.int64)
+    n = _lib.decode_bits_i64(_ptr(words), words.shape[0], _ptr(out))
+    assert n == count, (n, count)
+    return out
+
+
+class McSparse:
+    """Phased C++ sparse geometry (mc_host.cc): ``begin`` runs bitmap/rank
+    corner reconstruction + MC33 dispatch + first-occurrence welding + vertex
+    interpolation and returns the device color-blend inputs; the caller then
+    launches the on-device color blends; ``grad_finalize`` accumulates the
+    gradient normals and applies the world-space finalize WHILE the colors
+    stream back. Use as:
+
+        mc = McSparse(active, pvals, lx, ly, lz, nx, ny, nz, step, iso)
+        if mc.ok:
+            ci = mc.color_inputs          # launch device blends with these
+            verts, normals, stream = mc.grad_finalize(size3, center3)
+        mc.close()
+    """
+
+    def __init__(self, active, pvals, lx, ly, lz, nx, ny, nz, step, iso):
+        self._active = np.ascontiguousarray(active, np.int64)
+        self._pvals = np.ascontiguousarray(pvals, np.float32)
+        counts = np.zeros(4, np.int64)
+        self._handle = _lib.mc_sparse_begin(
+            _ptr(self._active), self._active.shape[0], _ptr(self._pvals),
+            self._pvals.shape[0], lx, ly, lz, nx, ny, nz, step,
+            ctypes.c_double(iso), _ptr(counts),
+        )
+        self.ok = bool(self._handle)
+        if not self.ok:
+            return
+        self.n_verts, self.stream_len, self.n_edge, self.n_center = (
+            int(c) for c in counts
+        )
+        ci = {
+            "edge_vid": np.empty(self.n_edge, np.int32),
+            "edge_base": np.empty(self.n_edge, np.int32),
+            "edge_vi": np.empty(self.n_edge, np.uint8),
+            "center_vid": np.empty(self.n_center, np.int32),
+            "center_base": np.empty(self.n_center, np.int32),
+        }
+        _lib.mc_sparse_color_inputs(
+            self._handle, _ptr(ci["edge_vid"]), _ptr(ci["edge_base"]),
+            _ptr(ci["edge_vi"]), _ptr(ci["center_vid"]),
+            _ptr(ci["center_base"]),
+        )
+        self.color_inputs = ci
+
+    def grad_finalize(self, size3, center3):
+        """Returns (verts f32 (V,3) world, normals f32 (V,3), stream i32)."""
+        size3 = np.ascontiguousarray(size3, np.float64)
+        center3 = np.ascontiguousarray(center3, np.float64)
+        verts = np.empty((self.n_verts, 3), np.float32)
+        normals = np.empty((self.n_verts, 3), np.float32)
+        stream = np.empty(self.stream_len, np.int32)
+        _lib.mc_sparse_grad_finalize(
+            self._handle, _ptr(size3), _ptr(center3), _ptr(verts),
+            _ptr(normals), _ptr(stream),
+        )
+        return verts, normals, stream
+
+    def close(self):
+        if self._handle:
+            _lib.mc_sparse_free(self._handle)
+            self._handle = None
+
+
+def mc_sequential_baseline(values, colors, step: int, iso: float):
+    """Single-threaded reference-style marching cubes over the full grid
+    (mc_host.cc mc_sequential_baseline) — the measured stand-in for the
+    reference's sequential C# meshing loop. Returns (n_verts, stream_len)."""
+    values = np.ascontiguousarray(values, np.float32)
+    nx, ny, nz = values.shape
+    cptr = None
+    if colors is not None:
+        colors = np.ascontiguousarray(colors, np.float32)
+        assert colors.shape == (nx, ny, nz, 3)
+        cptr = _ptr(colors)
+    counts = np.zeros(1, np.int64)
+    n_verts = _lib.mc_sequential_baseline(
+        _ptr(values), cptr, nx, ny, nz, step, ctypes.c_double(iso),
+        _ptr(counts),
+    )
+    return int(n_verts), int(counts[0])

@@ -13,8 +13,11 @@ or with each tile's rows sharded over a device mesh.
 
 from __future__ import annotations
 
+import contextlib
+import glob
 import json
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +50,7 @@ def render_tiles_resumable(
     view=None,
     mesh=None,
     progress=None,
+    backend: str = "auto",
     **cfg_kwargs,
 ):
     """Render an (H, W, 3) image in resumable row tiles.
@@ -56,9 +60,19 @@ def render_tiles_resumable(
     tiles. Returns ``(image, stats)`` where stats counts resumed vs rendered
     tiles. Pass ``mesh`` to shard each tile's rows over a device mesh (the
     same zero-communication row decomposition as render_sharded).
+
+    ``backend``: 'fused' renders each tile with the Pallas image kernel
+    (rays generated in-kernel from the tile's pixel offset — the same fast
+    path as the single-chip renderer), 'jnp' the XLA path, 'auto' fused on
+    TPU when the scene fits its parameter budget. The backend is part of the
+    tile manifest: the two paths differ at the float-rounding level, so a
+    resume must use the backend that produced the existing tiles.
     """
+    from sdfkit_tpu.parallel.train import resolve_shard_backend
+
     cfg = RenderConfig(width=width, height=height, **cfg_kwargs)
     view = default_view() if view is None else jnp.asarray(view, jnp.float32)
+    backend = resolve_shard_backend(backend, sdf)
     os.makedirs(checkpoint_dir, exist_ok=True)
 
     manifest_path = os.path.join(checkpoint_dir, "manifest.json")
@@ -73,6 +87,7 @@ def render_tiles_resumable(
         # rejected instead of silently mixing stale tiles into the frame.
         "scene": _scene_fingerprint(sdf),
         "config": repr(cfg),
+        "backend": backend,
     }
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -88,43 +103,13 @@ def render_tiles_resumable(
             json.dump(manifest, f)
         os.replace(tmp, manifest_path)
 
-    # Rays for the full frame once; each tile slices its rows, so tile
-    # boundaries never change the ray math.
-    ro, rd = camera_rays(
-        width, height, view, cfg.vfov_degrees, cfg.near, cfg.far
-    )
+    # A crash between np.save(tmp) and os.replace leaves an orphan tmp file;
+    # sweep them on startup so they never accumulate across crashes.
+    for leftover in glob.glob(os.path.join(checkpoint_dir, "*.tmp.npy")):
+        with contextlib.suppress(OSError):
+            os.unlink(leftover)
 
-    if mesh is not None:
-        from jax.sharding import PartitionSpec as P
-
-        from sdfkit_tpu.parallel.train import _pad_rows, shard_rays
-
-        axis = mesh.axis_names[0]
-        # One jitted program shared by every tile (full tiles have one
-        # shape, the tail tile at most one more) — building the wrapper
-        # inside the loop would retrace/recompile per tile.
-        local = lambda sdf, ro, rd: render_rays(sdf, ro, rd, cfg)
-        shmapped = jax.jit(
-            jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(P(), P(axis), P(axis)),
-                out_specs=P(axis),
-            )
-        )
-
-        def render_tile(ro_t, rd_t):
-            (ro_p, orig), (rd_p, _) = (
-                _pad_rows(ro_t, mesh.devices.size),
-                _pad_rows(rd_t, mesh.devices.size),
-            )
-            ro_p, rd_p = shard_rays(mesh, ro_p, rd_p)
-            return shmapped(sdf, ro_p, rd_p)[:orig]
-
-    else:
-
-        @jax.jit
-        def render_tile(ro_t, rd_t):
-            return render_rays(sdf, ro_t, rd_t, cfg)
+    render_tile = _make_tile_renderer(sdf, view, cfg, mesh, backend)
 
     n_tiles = -(-height // tile_rows)
     tiles = []
@@ -137,13 +122,7 @@ def render_tiles_resumable(
         else:
             r0 = t * tile_rows
             r1 = min(height, r0 + tile_rows)
-            sl = lambda a: a[r0:r1]
-            tile = np.asarray(
-                render_tile(
-                    jax.tree_util.tree_map(sl, ro),
-                    jax.tree_util.tree_map(sl, rd),
-                )
-            )
+            tile = np.asarray(render_tile(r0, r1 - r0))
             tmp = path + ".tmp.npy"
             np.save(tmp, tile)
             os.replace(tmp, path)  # atomic: a crash never leaves half a tile
@@ -155,3 +134,105 @@ def render_tiles_resumable(
     image = np.concatenate(tiles, axis=0)
     return image, {"resumed": resumed, "rendered": rendered,
                    "tiles": n_tiles}
+
+
+def _make_tile_renderer(sdf, view, cfg, mesh, backend):
+    """Build the per-tile render callable ``render_tile(row0, n_rows)``.
+
+    One jitted program is shared by every tile (full tiles have one shape,
+    the tail tile at most one more) — building the wrapper inside the loop
+    would retrace/recompile per tile. The fused path needs no ray arrays at
+    all: the kernel synthesizes the tile's rays from its flat pixel offset.
+    """
+    if backend == "fused":
+        from sdfkit_tpu.render.pallas import raymarch_kernel as rk
+
+        ivp, cam = rk._view_to_ivp_cam(view, cfg)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            n = mesh.devices.size
+
+            @partial(jax.jit, static_argnums=(4,))
+            def fused_tile_sharded(sdf, ivp, cam, pix0, n_rows):
+                rows_local = -(-n_rows // n)
+
+                def local(sdf, ivp, cam, pix0):
+                    p0 = pix0 + jax.lax.axis_index(axis) * (
+                        rows_local * cfg.width
+                    )
+                    return rk.render_rows_fused(
+                        sdf, ivp, cam, p0, cfg, rows_local
+                    )
+
+                return jax.shard_map(
+                    local, mesh=mesh, in_specs=(P(), P(), P(), P()),
+                    out_specs=P(axis), check_vma=False,
+                )(sdf, ivp, cam, pix0)[:n_rows]
+
+            def render_tile(r0, n_rows):
+                return fused_tile_sharded(
+                    sdf, ivp, cam, jnp.int32(r0 * cfg.width), n_rows
+                )
+
+        else:
+
+            @partial(jax.jit, static_argnums=(4,))
+            def fused_tile(sdf, ivp, cam, pix0, n_rows):
+                return rk.render_rows_fused(sdf, ivp, cam, pix0, cfg, n_rows)
+
+            def render_tile(r0, n_rows):
+                return fused_tile(
+                    sdf, ivp, cam, jnp.int32(r0 * cfg.width), n_rows
+                )
+
+        return render_tile
+
+    # jnp path: rays for the full frame once; each tile slices its rows, so
+    # tile boundaries never change the ray math.
+    ro, rd = camera_rays(
+        cfg.width, cfg.height, view, cfg.vfov_degrees, cfg.near, cfg.far
+    )
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from sdfkit_tpu.parallel.train import _pad_rows, shard_rays
+
+        axis = mesh.axis_names[0]
+        local = lambda sdf, ro, rd: render_rays(sdf, ro, rd, cfg)
+        shmapped = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis)),
+                out_specs=P(axis),
+            )
+        )
+
+        def render_tile(r0, n_rows):
+            sl = lambda a: a[r0 : r0 + n_rows]
+            ro_t = jax.tree_util.tree_map(sl, ro)
+            rd_t = jax.tree_util.tree_map(sl, rd)
+            (ro_p, orig), (rd_p, _) = (
+                _pad_rows(ro_t, mesh.devices.size),
+                _pad_rows(rd_t, mesh.devices.size),
+            )
+            ro_p, rd_p = shard_rays(mesh, ro_p, rd_p)
+            return shmapped(sdf, ro_p, rd_p)[:orig]
+
+    else:
+        jitted = jax.jit(
+            lambda sdf, ro_t, rd_t: render_rays(sdf, ro_t, rd_t, cfg)
+        )
+
+        def render_tile(r0, n_rows):
+            sl = lambda a: a[r0 : r0 + n_rows]
+            return jitted(
+                sdf,
+                jax.tree_util.tree_map(sl, ro),
+                jax.tree_util.tree_map(sl, rd),
+            )
+
+    return render_tile

@@ -61,6 +61,61 @@ def _pad_rows(tree, n_devices: int):
     return padded, orig
 
 
+def resolve_shard_backend(backend: str, sdf) -> str:
+    """'auto' picks the fused Pallas kernel on TPU (fastest, zero ray HBM
+    traffic) unless the scene exceeds its parameter budget; CPU keeps the
+    XLA path (the kernel would run in slow interpret mode). Same rule as
+    render.raymarch.RayMarcher."""
+    if backend == "auto":
+        from sdfkit_tpu.render.pallas.raymarch_kernel import (
+            MAX_FUSED_PARAM_SCALARS,
+        )
+        import numpy as _np
+
+        n_scalars = sum(
+            int(_np.prod(jnp.shape(l))) if jnp.shape(l) else 1
+            for l in jax.tree_util.tree_leaves(sdf)
+        )
+        backend = (
+            "jnp"
+            if jax.default_backend() == "cpu"
+            or n_scalars > MAX_FUSED_PARAM_SCALARS
+            else "fused"
+        )
+    if backend not in ("fused", "jnp"):
+        raise ValueError(f"unknown backend {backend!r}")
+    return backend
+
+
+def _shard_render_fused(mesh: Mesh, sdf, view, cfg: RenderConfig,
+                        depth_only: bool):
+    """Row-band fused render under shard_map: each device runs the image-
+    level Pallas kernel on its own band via a traced pixel offset (one
+    compiled kernel for all shards; raymarch_kernel.render_rows_fused)."""
+    from sdfkit_tpu.render.pallas import raymarch_kernel as rk
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    rows_local = -(-cfg.height // n)
+    ivp, cam = rk._view_to_ivp_cam(view, cfg)
+    fn = rk.render_depth_rows_fused if depth_only else rk.render_rows_fused
+
+    def local(sdf, ivp, cam):
+        pix0 = jax.lax.axis_index(axis) * (rows_local * cfg.width)
+        return fn(sdf, ivp, cam, pix0, cfg, rows_local)
+
+    shmapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(axis),
+        # pallas_call outputs carry no varying-mesh-axes metadata; the
+        # kernel output genuinely varies per shard via pix0.
+        check_vma=False,
+    )
+    return jax.jit(shmapped)(sdf, ivp, cam)[: cfg.height]
+
+
 def render_sharded(
     mesh: Mesh,
     sdf,
@@ -68,14 +123,21 @@ def render_sharded(
     height: int,
     view=None,
     depth_only: bool = False,
+    backend: str = "auto",
     **cfg_kwargs,
 ):
     """Render with image rows sharded over the mesh (zero communication;
-    the multi-chip analogue of RayMarcher.Render's row-band Parallel.For)."""
+    the multi-chip analogue of RayMarcher.Render's row-band Parallel.For).
+    ``backend``: 'fused' = the Pallas image kernel per row band (the path
+    the single-chip fast renderer uses), 'jnp' = XLA fori_loop path,
+    'auto' = fused on TPU when the scene fits (see resolve_shard_backend)."""
     cfg = RenderConfig(width=width, height=height, **cfg_kwargs)
     if view is None:
         view = default_view()
     view = jnp.asarray(view, jnp.float32)
+
+    if resolve_shard_backend(backend, sdf) == "fused":
+        return _shard_render_fused(mesh, sdf, view, cfg, depth_only)
 
     ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
     (ro, _), (rd, _) = (
@@ -116,8 +178,39 @@ def _train_step_impl(mesh, sdf, ro, rd, cfg, target, lr, n_real_rows):
     return new_sdf, loss
 
 
+@partial(jax.jit, static_argnums=(0, 3, 6))
+def _train_step_impl_fused(mesh, sdf, view, cfg, target, lr, n_real_rows):
+    """Fused-backend train step: forward AND backward are the Pallas kernels
+    per row band (render_rows_fused's custom VJP); the replicated sdf
+    gradient is psum'd over ICI by shard_map."""
+    from sdfkit_tpu.render.pallas import raymarch_kernel as rk
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    rows_local = -(-cfg.height // n)
+
+    def loss_fn(sdf):
+        ivp, cam = rk._view_to_ivp_cam(view, cfg)
+
+        def local(sdf, ivp, cam):
+            pix0 = jax.lax.axis_index(axis) * (rows_local * cfg.width)
+            return rk.render_rows_fused(sdf, ivp, cam, pix0, cfg, rows_local)
+
+        img = jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(axis),
+            check_vma=False,
+        )(sdf, ivp, cam)
+        row = jnp.arange(img.shape[0])[:, None, None]
+        se = jnp.where(row < n_real_rows, (img - target) ** 2, 0.0)
+        return jnp.sum(se) / (n_real_rows * img.shape[1] * img.shape[2])
+
+    loss, grads = jax.value_and_grad(loss_fn)(sdf)
+    new_sdf = jax.tree_util.tree_map(lambda p, g: p - lr * g, sdf, grads)
+    return new_sdf, loss
+
+
 def train_step_sharded(mesh: Mesh, sdf, target, view=None, lr: float = 1e-2,
-                       **cfg_kwargs):
+                       backend: str = "auto", **cfg_kwargs):
     """One differentiable fitting step: render the SDF over the mesh, compare
     to the target image, SGD-update the SDF's pytree parameters. The gradient
     all-reduce over the replicated parameters rides ICI (inserted by XLA from
@@ -132,9 +225,16 @@ def train_step_sharded(mesh: Mesh, sdf, target, view=None, lr: float = 1e-2,
     if view is None:
         view = default_view()
     view = jnp.asarray(view, jnp.float32)
+    n = mesh.devices.size
+
+    if resolve_shard_backend(backend, sdf) == "fused":
+        target, _ = _pad_rows(target, n)
+        (target,) = shard_rays(mesh, target)
+        return _train_step_impl_fused(
+            mesh, sdf, view, cfg, target, jnp.float32(lr), height
+        )
 
     ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
-    n = mesh.devices.size
     (ro, _), (rd, _), (target, _) = (
         _pad_rows(ro, n),
         _pad_rows(rd, n),

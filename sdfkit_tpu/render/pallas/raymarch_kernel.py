@@ -243,11 +243,19 @@ def _render_fused_impl(sdf, ro, rd, cfg, want_color):
 # ---------------------------------------------------------------------------
 
 
-def _rays_from_scalars(ivp16, cam3, width: int, height: int, block_rows: int):
+def _rays_from_scalars(ivp16, cam3, width: int, height: int, block_rows: int,
+                       pix0=0):
     """Per-lane ray origin/direction from the flat pixel index, given the
     inverse(view @ proj) matrix as a (16,) array and the camera position as a
     (3,) array — plain jnp inputs so the backward kernel can jax.vjp through
     ray generation to the view scalars.
+
+    ``pix0`` is the global flat-pixel index of this program's first lane —
+    nonzero when the kernel renders one row band of a larger image (the
+    shard_map path: each device's kernel gets pix0 = axis_index * band
+    pixels, the multi-chip analogue of the reference's row-band partitioning,
+    RayMarcher.cs:50-61). It may be a traced scalar; the kernel is compiled
+    once for all offsets.
 
     Identical math to utils/camera.camera_rays: NDC uses /(width-1) and
     /(height-1) denominators, y flipped so row 0 is the image top.
@@ -256,7 +264,7 @@ def _rays_from_scalars(ivp16, cam3, width: int, height: int, block_rows: int):
     pid = pl.program_id(0)
     row = jax.lax.broadcasted_iota(jnp.int32, (block_rows, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, 128), 1)
-    idx = (pid * block_rows + row) * 128 + lane
+    idx = pix0 + (pid * block_rows + row) * 128 + lane
     # Clamp padding lanes onto the last real pixel so their (discarded)
     # marches stay finite.
     idx = jnp.minimum(idx, npix - 1)
@@ -280,29 +288,37 @@ def _rays_from_scalars(ivp16, cam3, width: int, height: int, block_rows: int):
     return ro, rd
 
 
-def _rays_from_index(ivp_ref, cam_ref, width: int, height: int):
+def _rays_from_index(ivp_ref, cam_ref, pix_ref, width: int, height: int):
     """Ray generation from SMEM refs (forward-kernel entry)."""
     ivp16 = jnp.stack([ivp_ref[0, k] for k in range(16)])
     cam3 = jnp.stack([cam_ref[0, k] for k in range(3)])
-    return _rays_from_scalars(ivp16, cam3, width, height, BLOCK_ROWS)
+    return _rays_from_scalars(
+        ivp16, cam3, width, height, BLOCK_ROWS, pix_ref[0, 0]
+    )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _pallas_render_image_flat(params_smem, ivp, cam, meta, cfg, want_color):
-    """ivp: (1, 16) inverse(view@proj); cam: (1, 3) camera position."""
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _pallas_render_image_flat(params_smem, ivp, cam, pix0, meta, cfg,
+                              want_color, local_npix: int):
+    """ivp: (1, 16) inverse(view@proj); cam: (1, 3) camera position;
+    pix0: (1, 1) int32 global flat-pixel offset of this kernel's first lane
+    (0 for a whole-image render; the shard row-band offset under shard_map).
+    ``local_npix`` is the pixel count THIS kernel renders (<= width*height)."""
     treedef, shapes = meta
     n_leaves = len(params_smem)
-    npix = cfg.width * cfg.height
     tile = BLOCK_ROWS * 128
-    rows = ((npix + tile - 1) // tile) * BLOCK_ROWS
+    rows = ((local_npix + tile - 1) // tile) * BLOCK_ROWS
     grid = (rows // BLOCK_ROWS,)
 
     def kernel(*refs):
         leaf_refs = refs[:n_leaves]
         ivp_ref, cam_ref = refs[n_leaves], refs[n_leaves + 1]
-        out_refs = refs[n_leaves + 2 :]
+        pix_ref = refs[n_leaves + 2]
+        out_refs = refs[n_leaves + 3 :]
         sdf = _rebuild(treedef, shapes, leaf_refs)
-        ro, rd = _rays_from_index(ivp_ref, cam_ref, cfg.width, cfg.height)
+        ro, rd = _rays_from_index(
+            ivp_ref, cam_ref, pix_ref, cfg.width, cfg.height
+        )
         depth, color = _march_and_shade(sdf, ro, rd, cfg, want_color)
         if want_color:
             # RGB only: the depth plane would be dead output — skipping it
@@ -329,32 +345,22 @@ def _pallas_render_image_flat(params_smem, ivp, cam, meta, cfg, want_color):
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_leaves + 2),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_leaves + 3),
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
-    )(*params_smem, ivp, cam)
+    )(*params_smem, ivp, cam, pix0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _render_image_fused_impl(sdf, view, cfg, want_color):
-    from sdfkit_tpu.utils import camera as cam_mod
-
-    view = jnp.asarray(view, jnp.float32)
-    cam_tf = jnp.linalg.inv(view)
-    cam_pos = cam_tf[3, :3].reshape(1, 3)
-    proj = cam_mod.perspective_fov(
-        jnp.deg2rad(jnp.float32(cfg.vfov_degrees)),
-        cfg.width / cfg.height,
-        cfg.near,
-        cfg.far,
-    )
-    ivp = jnp.linalg.inv(view @ proj).reshape(1, 16)
     params, treedef, shapes = _flatten_params(sdf)
-    results = _pallas_render_image_flat(
-        params, ivp, cam_pos, (treedef, tuple(shapes)), cfg, want_color
-    )
+    ivp, cam_pos = _view_to_ivp_cam(view, cfg)
     npix = cfg.width * cfg.height
+    results = _pallas_render_image_flat(
+        params, ivp, cam_pos, jnp.zeros((1, 1), jnp.int32),
+        (treedef, tuple(shapes)), cfg, want_color, npix
+    )
     if not want_color:
         return results[0].reshape(-1)[:npix].reshape(cfg.height, cfg.width)
     rgb = results[0].reshape(3, -1)[:, :npix]
@@ -386,29 +392,30 @@ def _render_image_fused_impl(sdf, view, cfg, want_color):
 BWD_BLOCK_ROWS = 128  # 39-deep depth store = 39*128*128*4 B = 2.6 MB VMEM
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
-def _pallas_render_image_bwd(params_smem, ivp, cam, g_packed, meta, cfg,
-                             want_color):
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _pallas_render_image_bwd(params_smem, ivp, cam, pix0, g_packed, meta, cfg,
+                             want_color, local_npix: int):
     """Returns a (1, n_scalars) f32 array: concatenated cotangents for every
-    flattened sdf leaf, then the 16 ivp entries, then the 3 camera entries."""
+    flattened sdf leaf, then the 16 ivp entries, then the 3 camera entries.
+    ``pix0``/``local_npix``: see _pallas_render_image_flat."""
     treedef, shapes = meta
     n_leaves = len(params_smem)
     n_param_scalars = sum(
         int(np.prod(s)) if s else 1 for s in shapes
     )
     n_out = n_param_scalars + 19
-    npix = cfg.width * cfg.height
     tile = BWD_BLOCK_ROWS * 128
-    rows = ((npix + tile - 1) // tile) * BWD_BLOCK_ROWS
+    rows = ((local_npix + tile - 1) // tile) * BWD_BLOCK_ROWS
     grid = (rows // BWD_BLOCK_ROWS,)
     n = cfg.depth_iterations
 
     def kernel(*refs):
         leaf_refs = refs[:n_leaves]
         ivp_ref, cam_ref = refs[n_leaves], refs[n_leaves + 1]
-        g_ref = refs[n_leaves + 2]
-        out_ref = refs[n_leaves + 3]
-        store_ref = refs[n_leaves + 4]  # VMEM (n_store, BR, 128) depth store
+        pix_ref = refs[n_leaves + 2]
+        g_ref = refs[n_leaves + 3]
+        out_ref = refs[n_leaves + 4]
+        store_ref = refs[n_leaves + 5]  # VMEM (n_store, BR, 128) depth store
 
         sdf = _rebuild(treedef, shapes, leaf_refs)
         ivp16 = jnp.stack([ivp_ref[0, k] for k in range(16)])
@@ -416,7 +423,8 @@ def _pallas_render_image_bwd(params_smem, ivp, cam, g_packed, meta, cfg,
 
         def rays_fn(ivp16, cam3):
             ro, rd = _rays_from_scalars(
-                ivp16, cam3, cfg.width, cfg.height, BWD_BLOCK_ROWS
+                ivp16, cam3, cfg.width, cfg.height, BWD_BLOCK_ROWS,
+                pix_ref[0, 0]
             )
             return ro.x, ro.y, ro.z, rd.x, rd.y, rd.z
 
@@ -510,7 +518,7 @@ def _pallas_render_image_bwd(params_smem, ivp, cam, g_packed, meta, cfg,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_leaves + 2)
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_leaves + 3)
         + [g_spec],
         out_specs=pl.BlockSpec(
             (1, n_out), lambda i: (0, 0), memory_space=pltpu.SMEM
@@ -522,14 +530,16 @@ def _pallas_render_image_bwd(params_smem, ivp, cam, g_packed, meta, cfg,
             )
         ],
         interpret=jax.default_backend() == "cpu",
-    )(*params_smem, ivp, cam, g_packed)
+    )(*params_smem, ivp, cam, pix0, g_packed)
 
 
-def _pack_cotangent(g, cfg, want_color):
+def _pack_cotangent(g, cfg, want_color, npix=None):
     """(H, W[, 3]) cotangent -> the padded tile layout of the bwd kernel.
     Padding lanes get zero cotangent, so the duplicated marches the forward
-    kernel runs there contribute nothing."""
-    npix = cfg.width * cfg.height
+    kernel runs there contribute nothing. ``npix`` overrides the pixel count
+    for row-band (shard) cotangents."""
+    if npix is None:
+        npix = cfg.width * cfg.height
     tile = BWD_BLOCK_ROWS * 128
     padded = ((npix + tile - 1) // tile) * tile
     if want_color:
@@ -574,7 +584,8 @@ def _image_fused_bwd(cfg, want_color, residuals, g):
     )
     g_packed = _pack_cotangent(jnp.asarray(g, jnp.float32), cfg, want_color)
     out = _pallas_render_image_bwd(
-        params, ivp, cam, g_packed, (treedef, tuple(shapes)), cfg, want_color
+        params, ivp, cam, jnp.zeros((1, 1), jnp.int32), g_packed,
+        (treedef, tuple(shapes)), cfg, want_color, cfg.width * cfg.height
     )[0]
 
     # Unpack the flat scalar cotangents back into the sdf pytree and view.
@@ -603,6 +614,79 @@ def render_image_fused(sdf, view, cfg):
 def render_depth_image_fused(sdf, view, cfg):
     """Fully fused (H, W) depth render."""
     return _render_image_fused_impl(sdf, view, cfg, False)
+
+
+# ---------------------------------------------------------------------------
+# Row-band fused render: the shard_map entry point. Each device renders
+# ``n_rows`` rows of the global image, offset by a TRACED flat-pixel index
+# (axis_index * n_rows * width) — one compiled kernel serves every shard.
+# This is the multi-chip analogue of the reference's row-band Parallel.For
+# (RayMarcher.cs:50-61), with the fused kernel as the per-band worker.
+# Differentiable: backward is the Pallas pullback kernel per band; the
+# replicated sdf cotangents are psum'd by shard_map's replicated out-spec.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _render_rows_fused_impl(sdf, ivp, cam, pix0, cfg, n_rows, want_color):
+    params, treedef, shapes = _flatten_params(sdf)
+    local_npix = n_rows * cfg.width
+    pix0 = jnp.asarray(pix0, jnp.int32).reshape(1, 1)
+    results = _pallas_render_image_flat(
+        params, ivp, cam, pix0, (treedef, tuple(shapes)), cfg, want_color,
+        local_npix,
+    )
+    if not want_color:
+        return results[0].reshape(-1)[:local_npix].reshape(n_rows, cfg.width)
+    rgb = results[0].reshape(3, -1)[:, :local_npix]
+    return jnp.stack([c.reshape(n_rows, cfg.width) for c in rgb], axis=-1)
+
+
+def _rows_fused_fwd(sdf, ivp, cam, pix0, cfg, n_rows, want_color):
+    out = _render_rows_fused_impl(sdf, ivp, cam, pix0, cfg, n_rows,
+                                  want_color)
+    return out, (sdf, ivp, cam, pix0)
+
+
+def _rows_fused_bwd(cfg, n_rows, want_color, residuals, g):
+    sdf, ivp, cam, pix0 = residuals
+    params, treedef, shapes = _flatten_params(sdf)
+    local_npix = n_rows * cfg.width
+    g_packed = _pack_cotangent(
+        jnp.asarray(g, jnp.float32), cfg, want_color, npix=local_npix
+    )
+    out = _pallas_render_image_bwd(
+        params, ivp, cam, jnp.asarray(pix0, jnp.int32).reshape(1, 1),
+        g_packed, (treedef, tuple(shapes)), cfg, want_color, local_npix,
+    )[0]
+    leaves = []
+    pos = 0
+    for s in shapes:
+        k = int(np.prod(s)) if s else 1
+        chunk = out[pos : pos + k]
+        leaves.append(chunk.reshape(s) if s else chunk[0])
+        pos += k
+    g_sdf = jax.tree_util.tree_unflatten(treedef, leaves)
+    g_ivp = out[pos : pos + 16].reshape(1, 16)
+    g_cam = out[pos + 16 : pos + 19].reshape(1, 3)
+    # pix0 is integer-valued: its cotangent is the symbolic float0 zero.
+    g_pix0 = np.zeros(np.shape(pix0), jax.dtypes.float0)
+    return g_sdf, g_ivp, g_cam, g_pix0
+
+
+_render_rows_fused_impl.defvjp(_rows_fused_fwd, _rows_fused_bwd)
+
+
+def render_rows_fused(sdf, ivp, cam, pix0, cfg, n_rows):
+    """Fused render of ``n_rows`` rows starting at flat pixel ``pix0``
+    (traced OK) of the cfg.width x cfg.height image. ``ivp``/``cam`` come
+    from _view_to_ivp_cam(view, cfg). Returns (n_rows, W, 3)."""
+    return _render_rows_fused_impl(sdf, ivp, cam, pix0, cfg, n_rows, True)
+
+
+def render_depth_rows_fused(sdf, ivp, cam, pix0, cfg, n_rows):
+    """Depth variant of render_rows_fused: (n_rows, W)."""
+    return _render_rows_fused_impl(sdf, ivp, cam, pix0, cfg, n_rows, False)
 
 
 def _fused_fwd(sdf, ro, rd, cfg, want_color):

@@ -293,3 +293,90 @@ class TestFastPathDefault:
         icp._iter_transform = spy
         icp.register_points(static + 0.01)
         assert 1 <= len(calls) <= 5  # the numpy loop (early exit) ran
+
+
+class TestGridNN:
+    """The grid-bucket NN index (registration/icp.py GridNN) must answer
+    IDENTICALLY to the brute-force kernel — same indices (lowest-index tie
+    breaking) and bitwise-same recomputed distances — with the unguaranteed
+    queries repaired by brute force."""
+
+    def test_identical_to_brute_force_uniform(self):
+        from sdfkit_tpu.registration.icp import (
+            GridNN, nearest_neighbors,
+        )
+
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-1, 1, (20000, 3)).astype(np.float32)
+        q = rng.uniform(-1.2, 1.2, (3000, 3)).astype(np.float32)
+        grid = GridNN(pts)
+        assert grid.ok
+        gi, gd = grid.query(q)
+        bi, bd = nearest_neighbors(pts, q)
+        np.testing.assert_array_equal(gi, np.asarray(bi))
+        # numpy host recompute vs XLA's (FMA-contracted) device recompute
+        # differ by at most one ulp.
+        np.testing.assert_allclose(gd, np.asarray(bd), rtol=2e-7)
+
+    def test_identical_on_clustered_and_outlier_queries(self):
+        from sdfkit_tpu.registration.icp import (
+            GridNN, nearest_neighbors,
+        )
+
+        rng = np.random.default_rng(4)
+        # Two dense clusters + a sparse shell; queries include far outliers
+        # (every 27-block empty -> full brute-force repair path).
+        pts = np.concatenate([
+            rng.normal(0, 0.05, (5000, 3)),
+            rng.normal(2, 0.05, (5000, 3)),
+            rng.uniform(-3, 3, (500, 3)),
+        ]).astype(np.float32)
+        q = np.concatenate([
+            rng.normal(0, 0.5, (500, 3)),
+            rng.uniform(-20, 20, (100, 3)),
+        ]).astype(np.float32)
+        # Dense clusters blow past the default bucket cap (which would
+        # decline and use brute force); raise it so the grid + repair path
+        # itself is exercised on hostile data.
+        grid = GridNN(pts, max_bucket=10**6)
+        assert grid.ok
+        gi, gd = grid.query(q)
+        bi, bd = nearest_neighbors(pts, q)
+        np.testing.assert_array_equal(gi, np.asarray(bi))
+        np.testing.assert_allclose(gd, np.asarray(bd), rtol=2e-7)
+
+    def test_nearest_neighbors_class_routes_large_sets(self):
+        from sdfkit_tpu.registration.icp import NearestNeighbors
+
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
+        q = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+        brute = NearestNeighbors(pts, grid_min_points=10**9)
+        grid = NearestNeighbors(pts, grid_min_points=1)
+        bp, bdist = brute.search(q)
+        gp, gdist = grid.search(q)
+        np.testing.assert_array_equal(bp, gp)
+        np.testing.assert_allclose(bdist, gdist, rtol=2e-7)
+
+    def test_icp_registration_matches_brute_on_fixture(self):
+        from sdfkit_tpu.registration.icp import IterativeClosestPoint
+
+        rng = np.random.default_rng(6)
+        static = rng.uniform(-1, 1, (6000, 3)).astype(np.float32)
+        # Small known transform (translation + small rotation).
+        ang = 0.02
+        r = np.array([
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ], np.float32)
+        moved = (static @ r.T + np.array([0.01, -0.02, 0.015], np.float32))
+
+        icp_b = IterativeClosestPoint(static)
+        icp_b._nn._grid_min = 10**9  # force brute force
+        icp_g = IterativeClosestPoint(static)
+        icp_g._nn._grid_min = 1  # force grid index
+        pb, tb = icp_b.register_points(moved, parity=True)
+        pg, tg = icp_g.register_points(moved, parity=True)
+        np.testing.assert_allclose(tb, tg, atol=1e-6)
+        np.testing.assert_allclose(pb, pg, atol=1e-5)

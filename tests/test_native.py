@@ -98,3 +98,87 @@ def test_mesh_native_vs_numpy_path():
     np.testing.assert_array_equal(m.triangles, m_np.triangles)
     np.testing.assert_array_equal(m.colors, m_np.colors)
     np.testing.assert_allclose(m.normals, m_np.normals, atol=1e-4)
+
+
+class TestMcSparseFull:
+    """The single-pass C++ geometry kernel (mc_host.cc mc_sparse_run) against
+    the vectorized numpy sparse phase, through the public create_mesh:
+    vertices and triangles must be BITWISE identical (same dispatch, same
+    first-occurrence welding, same f64 interpolation), normals/colors to
+    float tolerance (accumulation order differs)."""
+
+    def _compare(self, scene, n, lo=-1.5, hi=1.5):
+        import sdfkit_tpu as sk
+        from sdfkit_tpu.mesh import marching_cubes as mc
+
+        v = sk.voxelize(scene, (lo,) * 3, (hi,) * 3, n, n, n)
+        os.environ["SDFKIT_TPU_NO_NATIVE"] = "1"
+        try:
+            m_np = mc.create_mesh(v)
+        finally:
+            del os.environ["SDFKIT_TPU_NO_NATIVE"]
+        m_cc = mc.create_mesh(v)
+        np.testing.assert_array_equal(m_np.vertices, m_cc.vertices)
+        np.testing.assert_array_equal(m_np.triangles, m_cc.triangles)
+        np.testing.assert_allclose(
+            m_np.normals, m_cc.normals, atol=2e-5, rtol=0
+        )
+        np.testing.assert_allclose(
+            m_np.colors, m_cc.colors, atol=1e-6, rtol=0
+        )
+        return m_cc
+
+    def test_sphere_small(self):
+        import sdfkit_tpu as sk
+
+        m = self._compare(sk.sphere(1.0), 5)
+        assert len(m.vertices) == 54  # reference golden
+
+    def test_csg_color_scene(self):
+        import sdfkit_tpu as sk
+
+        scene = sk.sphere(1.0, color=(1.0, 0.2, 0.1)) | sk.box(
+            (0.4, 0.9, 0.6), color=(0.1, 0.9, 0.2)
+        ).translate((0.5, 0.2, 0.0))
+        self._compare(scene, 33)
+
+    def test_torus_union(self):
+        import sdfkit_tpu as sk
+
+        scene = sk.torus(0.9, 0.35) | sk.sphere(0.5).translate(
+            (0.0, 0.0, 0.8)
+        )
+        self._compare(scene, 50)
+
+
+class TestSequentialBaseline:
+    """The reference-style single-threaded C++ baseline (mc_host.cc
+    mc_sequential_baseline) must agree with create_mesh on vertex count —
+    it is the measured stand-in for the reference's sequential meshing loop
+    in bench.py, so its work has to be the same surface."""
+
+    def test_counts_match_create_mesh(self):
+        import sdfkit_tpu as sk
+        from sdfkit_tpu.mesh import marching_cubes as mc
+
+        v = sk.voxelize(sk.sphere(0.5), (-1.0,) * 3, (1.0,) * 3, 32, 32, 32)
+        m = mc.create_mesh(v)
+        n_verts, stream_len = native.mc_sequential_baseline(
+            np.asarray(v.values), np.asarray(v.colors), 1, 0.0
+        )
+        assert n_verts == len(m.vertices) == 1248  # reference golden
+        assert stream_len == len(m.triangles)
+
+    def test_counts_match_no_colors(self):
+        import sdfkit_tpu as sk
+        from sdfkit_tpu.mesh import marching_cubes as mc
+
+        v = sk.voxelize(
+            sk.torus(0.9, 0.35), (-1.5,) * 3, (1.5,) * 3, 24, 24, 24
+        )
+        m = mc.create_mesh(v)
+        n_verts, stream_len = native.mc_sequential_baseline(
+            np.asarray(v.values), None, 1, 0.0
+        )
+        assert n_verts == len(m.vertices)
+        assert stream_len == len(m.triangles)

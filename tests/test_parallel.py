@@ -203,3 +203,78 @@ class TestShardedPipeline:
         np.testing.assert_array_equal(m8.colors, m1.colors)
         np.testing.assert_array_equal(m8.normals, m1.normals)
         np.testing.assert_array_equal(m8.triangles, m1.triangles)
+
+
+class TestFusedSharded:
+    """The fused Pallas kernel as the shard_map per-band renderer
+    (raymarch_kernel.render_rows_fused; interpret mode on the CPU backend).
+    All comparisons use the module's standard cross-program tolerances:
+    interpret-mode pallas_call is itself traced and XLA-compiled, so the
+    sharded band program and the whole-frame program round differently
+    (FMA contraction is shape-dependent) and 40 march steps compound the
+    ulps — the same effect the jnp sharded tests document above."""
+
+    def test_render_close_to_fused_single_device(self, mesh):
+        from sdfkit_tpu.render.raymarch import RayMarcher
+
+        s = scene()
+        img_1 = np.asarray(RayMarcher(32, 16, s, backend="fused").render())
+        img_f = np.asarray(render_sharded(mesh, s, 32, 16, backend="fused"))
+        np.testing.assert_allclose(img_1, img_f, atol=2e-2)
+
+    def test_render_close_to_jnp_backend(self, mesh):
+        s = scene()
+        img_j = np.asarray(render_sharded(mesh, s, 32, 16, backend="jnp"))
+        img_f = np.asarray(render_sharded(mesh, s, 32, 16, backend="fused"))
+        np.testing.assert_allclose(img_j, img_f, atol=2e-2)
+
+    def test_depth_and_uneven_height(self, mesh):
+        from sdfkit_tpu.render.raymarch import RayMarcher
+
+        s = scene()
+        d_1 = np.asarray(
+            RayMarcher(32, 15, s, backend="fused").render_depth()
+        )
+        d_f = np.asarray(
+            render_sharded(mesh, s, 32, 15, depth_only=True, backend="fused")
+        )
+        assert d_f.shape == (15, 32)
+        np.testing.assert_allclose(d_1, d_f, rtol=1e-3)
+
+    def test_train_step_matches_jnp_backend(self, mesh):
+        from sdfkit_tpu.parallel.train import train_step_sharded
+
+        s = scene()
+        target = jnp.zeros((16, 32, 3), jnp.float32)
+        s_j, l_j = train_step_sharded(mesh, s, target, backend="jnp")
+        s_f, l_f = train_step_sharded(mesh, s, target, backend="fused")
+        np.testing.assert_allclose(float(l_j), float(l_f), rtol=1e-3)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_j), jax.tree_util.tree_leaves(s_f)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+            )
+
+    def test_fit_mesh_fused_runs(self, mesh):
+        import sdfkit_tpu as sk2
+
+        s = sk2.sphere(0.4, color=(0.8, 0.2, 0.2))
+        target = np.asarray(sk2.render(sk2.sphere(0.55), 24, 16))
+        res = sk2.fit(s, target, steps=2, mesh=mesh, backend="fused")
+        assert len(res.losses) == 2
+        assert res.losses[1] <= res.losses[0] * 1.5  # moving, not exploding
+
+    def test_elastic_tiles_fused_matches_fused_whole_frame(self, mesh,
+                                                           tmp_path):
+        from sdfkit_tpu.parallel.elastic import render_tiles_resumable
+        from sdfkit_tpu.render.raymarch import RayMarcher
+
+        s = scene()
+        img_1 = np.asarray(RayMarcher(32, 16, s, backend="fused").render())
+        img_f, stats = render_tiles_resumable(
+            s, 32, 16, tmp_path / "f", tile_rows=8, mesh=mesh,
+            backend="fused",
+        )
+        assert stats["rendered"] == 2
+        np.testing.assert_allclose(img_1, img_f, atol=2e-2)
