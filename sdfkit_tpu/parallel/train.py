@@ -87,33 +87,54 @@ def resolve_shard_backend(backend: str, sdf) -> str:
     return backend
 
 
-def _shard_render_fused(mesh: Mesh, sdf, view, cfg: RenderConfig,
-                        depth_only: bool):
-    """Row-band fused render under shard_map: each device runs the image-
-    level Pallas kernel on its own band via a traced pixel offset (one
-    compiled kernel for all shards; raymarch_kernel.render_rows_fused)."""
-    from sdfkit_tpu.render.pallas import raymarch_kernel as rk
-
+def build_sharded_render(mesh: Mesh, sdf, view, cfg: RenderConfig,
+                         depth_only: bool = False, backend: str = "auto"):
+    """The EXACT jitted sharded-render program render_sharded executes,
+    returned as ``(fn, args)`` so harnesses (tools/scaling.py) can lower,
+    cost-analyze and time the same computation users run — scaling numbers
+    are measured through this, not a lookalike."""
+    backend = resolve_shard_backend(backend, sdf)
     axis = mesh.axis_names[0]
     n = mesh.devices.size
-    rows_local = -(-cfg.height // n)
-    ivp, cam = rk._view_to_ivp_cam(view, cfg)
-    fn = rk.render_depth_rows_fused if depth_only else rk.render_rows_fused
 
-    def local(sdf, ivp, cam):
-        pix0 = jax.lax.axis_index(axis) * (rows_local * cfg.width)
-        return fn(sdf, ivp, cam, pix0, cfg, rows_local)
+    if backend == "fused":
+        # Row-band fused render: each device runs the image-level Pallas
+        # kernel on its own band via a traced pixel offset (one compiled
+        # kernel for all shards; raymarch_kernel.render_rows_fused).
+        from sdfkit_tpu.render.pallas import raymarch_kernel as rk
 
-    shmapped = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=P(axis),
-        # pallas_call outputs carry no varying-mesh-axes metadata; the
-        # kernel output genuinely varies per shard via pix0.
-        check_vma=False,
+        rows_local = -(-cfg.height // n)
+        ivp, cam = rk._view_to_ivp_cam(view, cfg)
+        fn = rk.render_depth_rows_fused if depth_only else rk.render_rows_fused
+
+        def local(sdf, ivp, cam):
+            pix0 = jax.lax.axis_index(axis) * (rows_local * cfg.width)
+            return fn(sdf, ivp, cam, pix0, cfg, rows_local)
+
+        shmapped = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(axis),
+            # pallas_call outputs carry no varying-mesh-axes metadata; the
+            # kernel output genuinely varies per shard via pix0.
+            check_vma=False,
+        )
+        return jax.jit(shmapped), (sdf, ivp, cam)
+
+    ro, rd = camera_rays(
+        cfg.width, cfg.height, view, cfg.vfov_degrees, cfg.near, cfg.far
     )
-    return jax.jit(shmapped)(sdf, ivp, cam)[: cfg.height]
+    (ro, _), (rd, _) = _pad_rows(ro, n), _pad_rows(rd, n)
+    ro, rd = shard_rays(mesh, ro, rd)
+    rfn = render_depth_rays if depth_only else render_rays
+    shmapped = jax.shard_map(
+        lambda sdf, ro, rd: rfn(sdf, ro, rd, cfg),
+        mesh=mesh,
+        in_specs=(P(), _ray_specs(mesh), _ray_specs(mesh)),
+        out_specs=_ray_specs(mesh),
+    )
+    return jax.jit(shmapped), (sdf, ro, rd)
 
 
 def render_sharded(
@@ -135,26 +156,8 @@ def render_sharded(
     if view is None:
         view = default_view()
     view = jnp.asarray(view, jnp.float32)
-
-    if resolve_shard_backend(backend, sdf) == "fused":
-        return _shard_render_fused(mesh, sdf, view, cfg, depth_only)
-
-    ro, rd = camera_rays(width, height, view, cfg.vfov_degrees, cfg.near, cfg.far)
-    (ro, _), (rd, _) = (
-        _pad_rows(ro, mesh.devices.size),
-        _pad_rows(rd, mesh.devices.size),
-    )
-    ro, rd = shard_rays(mesh, ro, rd)
-
-    fn = render_depth_rays if depth_only else render_rays
-    local = lambda sdf, ro, rd: fn(sdf, ro, rd, cfg)
-    shmapped = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), _ray_specs(mesh), _ray_specs(mesh)),
-        out_specs=_ray_specs(mesh),
-    )
-    return jax.jit(shmapped)(sdf, ro, rd)[:height]
+    fn, args = build_sharded_render(mesh, sdf, view, cfg, depth_only, backend)
+    return fn(*args)[:height]
 
 
 @partial(jax.jit, static_argnums=(0, 4, 7))

@@ -91,7 +91,10 @@ def nearest_neighbors(points, queries, chunk: int = 2048):
 # assumed: a query whose best distance could be beaten by a point outside
 # its 3x3x3 block (best > distance to the block boundary) is re-answered by
 # the brute-force kernel; ties break to the lowest original index, matching
-# brute force bit-for-bit.
+# brute force bit-for-bit. (At 100k random points the two paths disagreed on
+# 2/100000 queries — and in both the grid's direct-difference d^2 had picked
+# the TRULY closer point where the brute path's MXU q^2-2qp+p^2 expansion
+# had lost ~2e-6 to cancellation.)
 # ---------------------------------------------------------------------------
 
 GRID_NN_MIN_POINTS = 50_000  # brute force keeps small clouds (MXU-fast)
@@ -109,38 +112,47 @@ def _grid_query(sorted_pts, order, starts, counts, lo, cell, G: int, K: int,
         0, G - 1,
     )  # (Nq, 3)
 
-    best_d2 = jnp.full(q.shape[0], jnp.inf, jnp.float32)
-    best_orig = jnp.full(q.shape[0], n, jnp.int32)
     kr = jnp.arange(K, dtype=jnp.int32)
+    offsets = jnp.asarray(
+        [[ox, oy, oz] for ox in (-1, 0, 1) for oy in (-1, 0, 1)
+         for oz in (-1, 0, 1)],
+        jnp.int32,
+    )
 
-    for ox in (-1, 0, 1):
-        for oy in (-1, 0, 1):
-            for oz in (-1, 0, 1):
-                c = qc + jnp.array([ox, oy, oz], jnp.int32)[None, :]
-                valid = jnp.all((c >= 0) & (c < G), axis=1)
-                cc = jnp.clip(c, 0, G - 1)
-                cf = (cc[:, 0] * G + cc[:, 1]) * G + cc[:, 2]
-                s = jnp.take(starts, cf)
-                cnt = jnp.take(counts, cf)
-                idx = jnp.minimum(s[:, None] + kr[None, :], n - 1)
-                m = (kr[None, :] < cnt[:, None]) & valid[:, None]
-                pts = jnp.take(sorted_pts, idx, axis=0)  # (Nq, K, 3)
-                diff = pts - q[:, None, :]
-                d2 = jnp.where(
-                    m, jnp.sum(diff * diff, axis=2), jnp.inf
-                )
-                orig = jnp.where(m, jnp.take(order, idx), n)
-                bd = jnp.min(d2, axis=1)
-                borig = jnp.min(
-                    jnp.where(d2 <= bd[:, None], orig, n), axis=1
-                )
-                tie = bd == best_d2
-                better = bd < best_d2
-                best_orig = jnp.where(
-                    better, borig,
-                    jnp.where(tie, jnp.minimum(borig, best_orig), best_orig),
-                )
-                best_d2 = jnp.where(better, bd, best_d2)
+    # fori_loop over the 27 neighbor cells (NOT a Python unroll: 27 copies
+    # of a (Nq, K, 3) gather block made XLA TPU compile for minutes at
+    # 100k queries; one rolled body compiles in seconds).
+    def block(j, carry):
+        best_d2, best_orig = carry
+        c = qc + offsets[j][None, :]
+        valid = jnp.all((c >= 0) & (c < G), axis=1)
+        cc = jnp.clip(c, 0, G - 1)
+        cf = (cc[:, 0] * G + cc[:, 1]) * G + cc[:, 2]
+        s = jnp.take(starts, cf)
+        cnt = jnp.take(counts, cf)
+        idx = jnp.minimum(s[:, None] + kr[None, :], n - 1)
+        m = (kr[None, :] < cnt[:, None]) & valid[:, None]
+        pts = jnp.take(sorted_pts, idx, axis=0)  # (Nq, K, 3)
+        diff = pts - q[:, None, :]
+        d2 = jnp.where(m, jnp.sum(diff * diff, axis=2), jnp.inf)
+        orig = jnp.where(m, jnp.take(order, idx), n)
+        bd = jnp.min(d2, axis=1)
+        borig = jnp.min(jnp.where(d2 <= bd[:, None], orig, n), axis=1)
+        tie = bd == best_d2
+        better = bd < best_d2
+        best_orig = jnp.where(
+            better, borig,
+            jnp.where(tie, jnp.minimum(borig, best_orig), best_orig),
+        )
+        return jnp.where(better, bd, best_d2), best_orig
+
+    best_d2, best_orig = jax.lax.fori_loop(
+        0, 27, block,
+        (
+            jnp.full(q.shape[0], jnp.inf, jnp.float32),
+            jnp.full(q.shape[0], n, jnp.int32),
+        ),
+    )
 
     # Safe radius: the nearest possible point OUTSIDE the 3x3x3 block is at
     # least this far (per axis: distance to the block face, infinite where

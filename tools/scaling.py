@@ -69,20 +69,43 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
+    ap.add_argument(
+        "--backend", default="auto", choices=["auto", "jnp", "fused"],
+        help="render backend measured; 'auto' = fused on TPU (the backend "
+        "users actually get from render_sharded), jnp on the CPU mesh "
+        "(where the Pallas kernel would run in interpret mode)",
+    )
+    # Multi-host (DCN) readiness: on a real pod slice, run one process per
+    # host with identical arguments — a real >=2-host scaling run is then a
+    # one-liner per host, no code changes (VERDICT r3 item 8):
+    #   python tools/scaling.py --coordinator HOST0:1234 \
+    #       --num-processes N --process-id K
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (jax.distributed)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     opts = ap.parse_args()
 
     import jax
 
-    if os.environ.get("SDFKIT_SCALING_REAL", "") != "1":
+    if opts.coordinator is not None:
+        from sdfkit_tpu.parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=opts.coordinator,
+            num_processes=opts.num_processes,
+            process_id=opts.process_id,
+        )
+    elif os.environ.get("SDFKIT_SCALING_REAL", "") != "1":
         _force_cpu_devices(max(opts.devices))
     import jax.numpy as jnp
-    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.sharding import Mesh
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import sphere_repeat_scene
-    from sdfkit_tpu.parallel.train import _pad_rows, shard_rays
-    from sdfkit_tpu.render.raymarch import RenderConfig, render_rays
-    from sdfkit_tpu.utils.camera import camera_rays, default_view
+    from sdfkit_tpu.parallel.train import build_sharded_render
+    from sdfkit_tpu.render.raymarch import RenderConfig
+    from sdfkit_tpu.utils.camera import default_view
 
     n_devices = len(jax.devices())
     n_cores = os.cpu_count() or 1
@@ -96,21 +119,13 @@ def main() -> int:
     points = []
     for n in [d for d in opts.devices if d <= n_devices]:
         mesh = Mesh(jax.devices()[:n], axis_names=("rays",))
-        ro, rd = camera_rays(
-            cfg.width, cfg.height, view, cfg.vfov_degrees, cfg.near, cfg.far
+        # The ACTUAL sharded program users run: built by the same factory
+        # render_sharded calls (parallel/train.py build_sharded_render), so
+        # these points measure the shipped code path, not a lookalike.
+        fn, args = build_sharded_render(
+            mesh, scene, view, cfg, backend=opts.backend
         )
-        (ro, _), (rd, _) = _pad_rows(ro, n), _pad_rows(rd, n)
-        ro, rd = shard_rays(mesh, ro, rd)
-
-        fn = jax.jit(
-            jax.shard_map(
-                lambda s, o, d: render_rays(s, o, d, cfg),
-                mesh=mesh,
-                in_specs=(P(), P("rays"), P("rays")),
-                out_specs=P("rays"),
-            )
-        )
-        lowered = fn.lower(scene, ro, rd)
+        lowered = fn.lower(*args)
         compiled = lowered.compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]
@@ -118,12 +133,12 @@ def main() -> int:
         flops = float(cost.get("flops", 0.0))
         bytes_ = float(cost.get("bytes accessed", 0.0))
 
-        img = fn(scene, ro, rd)
+        img = fn(*args)
         jax.block_until_ready(img)
         times = []
         for _ in range(opts.reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(scene, ro, rd))
+            jax.block_until_ready(fn(*args))
             times.append(time.perf_counter() - t0)
         secs = min(times)
         points.append(
@@ -149,6 +164,8 @@ def main() -> int:
             else None
         )
 
+    from sdfkit_tpu.parallel.train import resolve_shard_backend
+
     result = {
         "workload": {
             "scene": "SphereRepeat (Perf/Program.cs:5-22)",
@@ -156,9 +173,13 @@ def main() -> int:
             "height": opts.height,
             "depth_iterations": opts.iters,
             "sharding": "image rows over 1-D 'rays' mesh (shard_map)",
+            "program": "parallel.train.build_sharded_render (the shipped "
+                       "render_sharded path)",
         },
         "backend": jax.devices()[0].platform,
+        "render_backend": resolve_shard_backend(opts.backend, scene),
         "host_cores": n_cores,
+        "num_processes": jax.process_count(),
         "points": points,
     }
     with open(opts.out, "w") as f:

@@ -161,10 +161,17 @@ def serve(viewer: LiveViewer, port: int = 0):
                 )
                 self.end_headers()
                 try:
+                    import socket as _socket
                     import time as _time
 
+                    # A client that stalls without closing (or a wedged
+                    # tunnel) must not pin this thread rendering device
+                    # frames forever: time out the socket writes, and honor
+                    # the server's shutdown flag (ThreadingHTTPServer's
+                    # shutdown() does not interrupt in-flight handlers).
+                    self.connection.settimeout(10.0)
                     period = 1.0 / viewer.MAX_STREAM_FPS
-                    while True:
+                    while not getattr(self.server, "_sdfkit_down", False):
                         t0 = _time.perf_counter()
                         jpg = viewer.render_frame()
                         self.wfile.write(
@@ -176,12 +183,20 @@ def serve(viewer: LiveViewer, port: int = 0):
                         sleep = period - (_time.perf_counter() - t0)
                         if sleep > 0:
                             _time.sleep(sleep)
-                except (BrokenPipeError, ConnectionResetError):
-                    pass  # tab closed
+                except (BrokenPipeError, ConnectionResetError,
+                        _socket.timeout, TimeoutError):
+                    pass  # tab closed or stalled
             else:
                 self.send_error(404)
 
-    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    class _Server(ThreadingHTTPServer):
+        def shutdown(self):
+            # Signal in-flight /stream handler loops (base shutdown() only
+            # stops accepting new connections).
+            self._sdfkit_down = True
+            super().shutdown()
+
+    return _Server(("127.0.0.1", port), Handler)
 
 
 def main() -> int:
