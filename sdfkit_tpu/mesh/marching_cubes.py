@@ -927,14 +927,22 @@ def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
 
     nx, ny, nz = np.shape(voxels.values)
 
+    # Phase A (C++ bitmap/rank corner index) runs on the active ids WHILE
+    # the point values are still streaming over the link.
+    t0 = _time.perf_counter()
+    mc = nat.McSparse(active, lx, ly, lz, nx, ny, nz, step, iso)
+    if not mc.ok:
+        return None
+    LAST_TIMINGS["native_index_ms"] = (_time.perf_counter() - t0) * 1e3
+
     t0 = _time.perf_counter()
     arr, pcount = pvals
     pv = np.asarray(arr)[:pcount]  # blocks until the async copy lands
     LAST_TIMINGS["pvals_wait_ms"] = (_time.perf_counter() - t0) * 1e3
 
     t0 = _time.perf_counter()
-    mc = nat.McSparse(active, pv, lx, ly, lz, nx, ny, nz, step, iso)
-    if not mc.ok:
+    if not mc.geometry(pv):
+        mc.close()
         return None
     LAST_TIMINGS["native_geometry_ms"] = (_time.perf_counter() - t0) * 1e3
 

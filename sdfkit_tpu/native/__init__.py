@@ -78,13 +78,16 @@ def _load():
         lib.decode_bits_i64.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
-        lib.mc_sparse_begin.restype = ctypes.c_void_p
-        lib.mc_sparse_begin.argtypes = [
+        lib.mc_sparse_index.restype = ctypes.c_void_p
+        lib.mc_sparse_index.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,          # active, n_active
-            ctypes.c_void_p, ctypes.c_int64,          # pvals, n_points
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # lx, ly, lz
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # nx, ny, nz
             ctypes.c_int64, ctypes.c_double,          # step, iso
+        ]
+        lib.mc_sparse_geometry.restype = ctypes.c_int32
+        lib.mc_sparse_geometry.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p,                          # counts out (4)
         ]
         lib.mc_sparse_color_inputs.restype = None
@@ -174,25 +177,37 @@ class McSparse:
     gradient normals and applies the world-space finalize WHILE the colors
     stream back. Use as:
 
-        mc = McSparse(active, pvals, lx, ly, lz, nx, ny, nz, step, iso)
-        if mc.ok:
+        mc = McSparse(active, lx, ly, lz, nx, ny, nz, step, iso)  # phase A
+        pv = np.asarray(pvals_device)     # ... overlaps phase A
+        if mc.ok and mc.geometry(pv):     # phase B
             ci = mc.color_inputs          # launch device blends with these
             verts, normals, stream = mc.grad_finalize(size3, center3)
         mc.close()
     """
 
-    def __init__(self, active, pvals, lx, ly, lz, nx, ny, nz, step, iso):
+    def __init__(self, active, lx, ly, lz, nx, ny, nz, step, iso):
+        """Phase A (corner bitmap/rank index): needs only the active-cell
+        ids — construct this WHILE the point values still stream from the
+        device, then call .geometry(pvals)."""
         self._active = np.ascontiguousarray(active, np.int64)
-        self._pvals = np.ascontiguousarray(pvals, np.float32)
-        counts = np.zeros(4, np.int64)
-        self._handle = _lib.mc_sparse_begin(
-            _ptr(self._active), self._active.shape[0], _ptr(self._pvals),
-            self._pvals.shape[0], lx, ly, lz, nx, ny, nz, step,
-            ctypes.c_double(iso), _ptr(counts),
+        self._handle = _lib.mc_sparse_index(
+            _ptr(self._active), self._active.shape[0],
+            lx, ly, lz, nx, ny, nz, step, ctypes.c_double(iso),
         )
         self.ok = bool(self._handle)
-        if not self.ok:
-            return
+
+    def geometry(self, pvals) -> bool:
+        """Phase B: dispatch + weld + interpolation. False on host/device
+        index mismatch (caller falls back to numpy)."""
+        self._pvals = np.ascontiguousarray(pvals, np.float32)
+        counts = np.zeros(4, np.int64)
+        ok = _lib.mc_sparse_geometry(
+            self._handle, _ptr(self._pvals), self._pvals.shape[0],
+            _ptr(counts),
+        )
+        if not ok:
+            self.ok = False
+            return False
         self.n_verts, self.stream_len, self.n_edge, self.n_center = (
             int(c) for c in counts
         )
@@ -209,6 +224,7 @@ class McSparse:
             _ptr(ci["center_base"]),
         )
         self.color_inputs = ci
+        return True
 
     def grad_finalize(self, size3, center3):
         """Returns (verts f32 (V,3) world, normals f32 (V,3), stream i32)."""

@@ -376,17 +376,25 @@ int64_t decode_bits_i64(const uint32_t* words, int64_t n_words,
 // Returns an opaque handle (free with mc_sparse_free) or nullptr if the
 // bitmap/rank reconstruction finds an inconsistency (caller falls back).
 // counts out: [n_verts, stream_len, n_edge, n_center].
-void* mc_sparse_begin(const int64_t* active, int64_t n_active,
-                      const float* pvals, int64_t n_points,
+// Phase A: the bitmap/rank corner index needs only the active-cell ids —
+// run it WHILE the point values are still streaming over the link.
+// Returns a handle to pass to mc_sparse_geometry (or mc_sparse_free).
+void* mc_sparse_index(const int64_t* active, int64_t n_active,
                       int64_t lx, int64_t ly, int64_t lz,
                       int64_t nx, int64_t ny, int64_t nz,
-                      int64_t step, double iso, int64_t* counts) {
-    const int64_t px_n = lx + 1, py_n = ly + 1, pz_n = lz + 1;
-    const int64_t P = px_n * py_n * pz_n;
+                      int64_t step, double iso) {
+    const int64_t px_n = lx + 1, py_n = ly + 1;
+    const int64_t P = px_n * py_n * (lz + 1);
     const int64_t words = (P + 63) / 64;
 
-    // --- bitmap of unique corner points + rank index ---
-    std::vector<uint64_t> bm(words, 0);
+    McResult* r = new McResult();
+    r->active.assign(active, active + n_active);
+    r->lx = lx; r->ly = ly; r->lz = lz;
+    r->nx = nx; r->ny = ny; r->nz = nz;
+    r->step = step; r->iso = iso;
+
+    r->bm.assign(words, 0);
+    uint64_t* bm = r->bm.data();
     for (int64_t i = 0; i < n_active; ++i) {
         const int64_t a = active[i];
         const int64_t cx = a % lx, cy = (a / lx) % ly, cz = a / (lx * ly);
@@ -398,11 +406,32 @@ void* mc_sparse_begin(const int64_t* active, int64_t n_active,
                     bm[pid >> 6] |= 1ull << (pid & 63);
                 }
     }
-    std::vector<int32_t> rank(words + 1);
-    rank[0] = 0;
+    r->rank.resize(words + 1);
+    r->rank[0] = 0;
     for (int64_t w = 0; w < words; ++w)
-        rank[w + 1] = rank[w] + __builtin_popcountll(bm[w]);
-    if (rank[words] != n_points) return nullptr;  // device/host disagree
+        r->rank[w + 1] = r->rank[w] + __builtin_popcountll(bm[w]);
+    return r;
+}
+
+// Phase B: dispatch + weld + interpolation, once the point values are in.
+// Returns 1 on success, 0 on host/device index mismatch (caller falls
+// back). counts out: [n_verts, stream_len, n_edge, n_center].
+int32_t mc_sparse_geometry(void* handle, const float* pvals,
+                           int64_t n_points, int64_t* counts) {
+    McResult* r = static_cast<McResult*>(handle);
+    const int64_t lx = r->lx, ly = r->ly;
+    const int64_t nx = r->nx, ny = r->ny, nz = r->nz;
+    const int64_t step = r->step;
+    const double iso = r->iso;
+    const int64_t n_active = static_cast<int64_t>(r->active.size());
+    const int64_t px_n = lx + 1, py_n = ly + 1;
+    const int64_t words = static_cast<int64_t>(r->bm.size());
+    const int64_t* active = r->active.data();
+    const uint64_t* bm = r->bm.data();
+    const int32_t* rank = r->rank.data();
+
+    if (rank[words] != n_points) return 0;  // device/host disagree
+    r->pvals.assign(pvals, pvals + n_points);
 
     auto pos_of = [&](int64_t pid) -> int64_t {
         const uint64_t word = bm[pid >> 6];
@@ -410,7 +439,6 @@ void* mc_sparse_begin(const int64_t* active, int64_t n_active,
         return rank[pid >> 6] + __builtin_popcountll(below);
     };
 
-    McResult* r = new McResult();
     r->verts.reserve(n_active * 3);
     r->normals.reserve(n_active * 3);
     r->stream.reserve(n_active * 6);
@@ -506,21 +534,12 @@ void* mc_sparse_begin(const int64_t* active, int64_t n_active,
         }
     }
 
-    // Keep what the deferred gradient pass needs.
-    r->active.assign(active, active + n_active);
-    r->pvals.assign(pvals, pvals + n_points);
-    r->bm = std::move(bm);
-    r->rank = std::move(rank);
-    r->lx = lx; r->ly = ly; r->lz = lz;
-    r->nx = nx; r->ny = ny; r->nz = nz;
-    r->step = step; r->iso = iso;
-
     r->n_verts = next_rank;
     counts[0] = r->n_verts;
     counts[1] = static_cast<int64_t>(r->stream.size());
     counts[2] = static_cast<int64_t>(r->edge_vid.size());
     counts[3] = static_cast<int64_t>(r->center_vid.size());
-    return r;
+    return 1;
 }
 
 // Copy out the device color-blend inputs (call between begin and

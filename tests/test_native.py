@@ -182,3 +182,17 @@ class TestSequentialBaseline:
         )
         assert n_verts == len(m.vertices)
         assert stream_len == len(m.triangles)
+
+
+def test_native_path_actually_taken():
+    """Guard against silent numpy fallback: a wrapper bug once made
+    McSparse.geometry() return None (falsy), so every mesh quietly took the
+    numpy path while all parity tests still passed (both sides were numpy).
+    The phase timings name which path ran — pin it."""
+    import sdfkit_tpu as sk
+    from sdfkit_tpu.mesh import marching_cubes as mc
+
+    v = sk.voxelize(sk.sphere(0.5), (-1.0,) * 3, (1.0,) * 3, 24, 24, 24)
+    mc.create_mesh(v)
+    assert "native_geometry_ms" in mc.LAST_TIMINGS, mc.LAST_TIMINGS
+    assert "dispatch_weld_ms" not in mc.LAST_TIMINGS  # the numpy-path key
