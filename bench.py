@@ -627,6 +627,10 @@ def bench_scaling(rtt: float, out_path: str = "SCALING.json") -> dict:
             "method": "per-chip shard shapes timed on one real chip; the row "
                       "sharding has zero cross-chip communication so per-chip "
                       "time at N devices equals the 1-chip time on rows/N",
+            "note": "efficiency can exceed 100%: the fused kernel's small "
+                    "row bands (e.g. 270 rows at n=8) pipeline slightly "
+                    "better per pixel than the monolithic full frame; "
+                    "reported as measured",
             "points": shards,
         },
     }
@@ -688,7 +692,7 @@ def bench_mesh(n: int = 256) -> dict:
         f"mesh_{n}^3_phase_ms": best_split,
     }
     out.update(_bench_mesh_seq_baseline(v, n, len(m.vertices)))
-    return out
+    return _mesh_speedup(out, n)
 
 
 def _bench_mesh_seq_baseline(v, n: int, our_verts: int) -> dict:
@@ -722,6 +726,18 @@ def _bench_mesh_seq_baseline(v, n: int, our_verts: int) -> dict:
             (n - 1) ** 3 / best / 1e6, 1
         ),
     }
+
+
+def _mesh_speedup(out: dict, n: int = 256) -> dict:
+    """The controlled matching-or-beating ratio: our mesh vs the sequential
+    reference-style baseline ON THE SAME HOST IN THE SAME RUN — both sides
+    see the same (noisy, shared) 2-core host, so the ratio is stable across
+    runs even when absolute wall-clocks drift ~1.5x with host load."""
+    ours = out.get(f"mesh_{n}^3_ms")
+    base = out.get(f"mesh_{n}^3_seq_baseline_ms")
+    if ours and base:
+        out[f"mesh_{n}^3_vs_seq_baseline_x"] = round(base / ours, 2)
+    return out
 
 
 def bench_icp(rtt: float, n: int = 10000) -> dict:
