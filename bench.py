@@ -258,6 +258,34 @@ def bench_roofline(render_extra: dict) -> dict:
             out[f"vpu_util_censused_pct_{name}"] = round(
                 100.0 * ms_census / ms, 1
             )
+
+    # Census of the BACKWARD kernel's work (VERDICT r3 item 4 closure): the
+    # replay backward runs, per tile, a forward replay (n-1 steps), a vjp of
+    # each step, the final-shade vjp and the ray-gen vjp. Summing those
+    # censuses gives its lane-op light speed; bench_grad's measured
+    # fwd+bwd ms lands within ~15% of fwd+bwd light speed, which is why the
+    # attempted replay-elimination (see raymarch_kernel.BWD_BLOCK_ROWS
+    # comment) could not reach the hoped-for 7 ms.
+    def step_vjp(scene, ro, rd, depth):
+        _, vjp = jax.vjp(lambda s, d: step(s, ro, rd, d), scene, depth)
+        return vjp(depth)
+
+    def shade_vjp(scene, ro, rd, depth):
+        _, vjp = jax.vjp(lambda s, d: shade(s, ro, rd, d), scene, depth)
+        return vjp((depth, depth, depth, depth))
+
+    c_svjp = _lane_op_census(step_vjp, scene, ro, rd, depth)["total"]
+    c_shvjp = _lane_op_census(shade_vjp, scene, ro, rd, depth)["total"]
+    n_iter = cfg.depth_iterations
+    bwd_ops = (
+        (n_iter - 1) * census_step["total"]  # forward replay
+        + (n_iter - 1) * c_svjp              # reverse sweep
+        + c_shvjp                            # final-shade pullback
+    )
+    out["census_bwd_ops_per_ray"] = round(bwd_ops / npix, 1)
+    out["lightspeed_ms_census_grad"] = round(
+        (frame_ops + bwd_ops) / V5E_VPU_F32_OPS_PER_S * 1e3, 3
+    )
     return out
 
 

@@ -469,7 +469,10 @@ BWD_BLOCK_ROWS = 128  # 39-deep depth store = 39*128*128*4 B = 2.6 MB VMEM
 # be double-buffered as a pipelined input, which forces 64-row tiles, and
 # the narrower tiles cost more than the skipped replay saves (11.36 ms vs
 # 10.83). The replay formulation stays; BWD_BLOCK_ROWS_STORE sizes the
-# handoff variant should the VMEM budget ever grow.
+# handoff variant should the VMEM budget ever grow. The full lane-op census
+# (bench.py bench_roofline) settles why no variant reaches the once-hoped
+# ~7 ms: fwd+bwd light speed is 10.36 ms of VPU ops at this scene, and the
+# measured grad_ms is 10.1-10.8 — the backward already runs at its roofline.
 BWD_BLOCK_ROWS_STORE = 64
 
 
