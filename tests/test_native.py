@@ -196,3 +196,34 @@ def test_native_path_actually_taken():
     mc.create_mesh(v)
     assert "native_geometry_ms" in mc.LAST_TIMINGS, mc.LAST_TIMINGS
     assert "dispatch_weld_ms" not in mc.LAST_TIMINGS  # the numpy-path key
+
+
+def test_mc_sparse_geometry_rejects_mismatched_points():
+    """The C++ phase-B entry must refuse (return False) when the point-value
+    count disagrees with its bitmap rank — the host/device-inconsistency
+    guard that triggers the numpy fallback in create_mesh."""
+    import sdfkit_tpu as sk
+    from sdfkit_tpu.mesh import luts
+
+    v = sk.voxelize(sk.sphere(0.5), (-1.0,) * 3, (1.0,) * 3, 12, 12, 12)
+    vals = np.asarray(v.values)
+    n = 12
+    inside = vals > np.float32(0.0)
+    c = np.zeros((n - 1,) * 3, np.uint8)
+    for k in range(8):
+        dx = int(luts.CORNER_DX[k])
+        dy = int(luts.CORNER_DY[k])
+        dz = int(luts.CORNER_DZ[k])
+        c |= (
+            inside[dx : dx + n - 1, dy : dy + n - 1, dz : dz + n - 1]
+            .astype(np.uint8) << k
+        )
+    am = ((c != 0) & (c != 255)).transpose(2, 1, 0).reshape(-1)
+    active = np.flatnonzero(am).astype(np.int64)
+    mc = native.McSparse(active, n - 1, n - 1, n - 1, n, n, n, 1, 0.0)
+    assert mc.ok
+    try:
+        assert mc.geometry(np.zeros(3, np.float32)) is False  # wrong count
+        assert mc.ok is False
+    finally:
+        mc.close()
