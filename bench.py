@@ -757,10 +757,13 @@ def _bench_mesh_seq_baseline(v, n: int, our_verts: int) -> dict:
 
 
 def _mesh_speedup(out: dict, n: int = 256) -> dict:
-    """The controlled matching-or-beating ratio: our mesh vs the sequential
-    reference-style baseline ON THE SAME HOST IN THE SAME RUN — both sides
-    see the same (noisy, shared) 2-core host, so the ratio is stable across
-    runs even when absolute wall-clocks drift ~1.5x with host load."""
+    """The matching-or-beating ratio: our mesh vs the sequential
+    reference-style baseline on the same host in the same run. Both sides
+    see the same (noisy, shared) 2-core host, which cancels host-load
+    drift; the mesh additionally rides the tunneled device link, so in
+    slow-link phases the ratio sags (observed 1.5-2.6x across runs, ~2x
+    in healthy ones). On local (non-tunneled) TPU hosts the link terms
+    shrink ~10-30x and the ratio would rise accordingly."""
     ours = out.get(f"mesh_{n}^3_ms")
     base = out.get(f"mesh_{n}^3_seq_baseline_ms")
     if ours and base:

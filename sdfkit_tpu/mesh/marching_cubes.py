@@ -916,13 +916,14 @@ def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
                          lx: int, ly: int, lz: int, iso: float, nat,
                          size_center) -> Mesh | None:
     """Sparse phase via the phased C++ geometry kernels (mc_host.cc):
-    ``begin`` runs bitmap/rank corner reconstruction + MC33 dispatch +
-    first-occurrence welding + vertex interpolation; the on-device vertex-
-    color blends are launched from its outputs; then ``grad_finalize`` runs
-    the gradient-normal accumulation and world-space finalize ON HOST while
-    the color results stream back over the link. Returns None if the C++
-    side detects a host/device inconsistency (caller falls back to the
-    numpy path)."""
+    the corner bitmap/rank index builds WHILE the point values stream; the
+    dispatch/weld/interp pass then runs in TWO cell chunks, launching the
+    on-device color blend of each chunk's new vertices as soon as it
+    exists — so the first blend's transfer overlaps the second chunk's
+    host work, and the second blend overlaps the C++ gradient/finalize
+    pass. Chunking is bit-identical to one pass (welding state persists in
+    the handle). Returns None if the C++ side detects a host/device
+    inconsistency (caller falls back to the numpy path)."""
     import time as _time
 
     nx, ny, nz = np.shape(voxels.values)
@@ -940,35 +941,31 @@ def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
     pv = np.asarray(arr)[:pcount]  # blocks until the async copy lands
     LAST_TIMINGS["pvals_wait_ms"] = (_time.perf_counter() - t0) * 1e3
 
-    t0 = _time.perf_counter()
-    if not mc.geometry(pv):
-        mc.close()
-        return None
-    LAST_TIMINGS["native_geometry_ms"] = (_time.perf_counter() - t0) * 1e3
+    values_flat = jnp.asarray(values, jnp.float32).reshape(-1)
+    colors_flat = jnp.asarray(colors, jnp.float32).reshape(-1, 3)
+    iso32 = jnp.float32(iso)
+    off1 = (
+        (luts.edgesrelx[:, 0].astype(np.int64) * ny
+         + luts.edgesrely[:, 0]) * nz + luts.edgesrelz[:, 0]
+    ) * step
+    off2 = (
+        (luts.edgesrelx[:, 1].astype(np.int64) * ny
+         + luts.edgesrely[:, 1]) * nz + luts.edgesrelz[:, 1]
+    ) * step
+    deltas = (
+        (luts.CORNER_DX.astype(np.int64) * ny + luts.CORNER_DY) * nz
+        + luts.CORNER_DZ
+    ) * step
 
-    try:
-        # --- device color blends (Cell.AddFaceFromEdgeIndex /
-        #     CalculateCenterVertex color interpolation); their transfer
-        #     overlaps the C++ gradient pass below ---
-        t0 = _time.perf_counter()
-        ci = mc.color_inputs
-        values_flat = jnp.asarray(values, jnp.float32).reshape(-1)
-        colors_flat = jnp.asarray(colors, jnp.float32).reshape(-1, 3)
-        iso32 = jnp.float32(iso)
-        n_e, k_c = mc.n_edge, mc.n_center
-        edge_cols_dev = center_cols_dev = None
+    def launch_blends(ci):
+        """Device color blends for one chunk's new vertices; returns
+        (edge_dev|None, center_dev|None) with async host copies started."""
+        edge_dev = center_dev = None
+        n_e = ci["edge_vid"].shape[0]
         if n_e:
             nb = -(-n_e // 4096) * 4096  # bucketed shapes bound recompiles
             pad = nb - n_e
-            off1 = (
-                (luts.edgesrelx[:, 0].astype(np.int64) * ny
-                 + luts.edgesrely[:, 0]) * nz + luts.edgesrelz[:, 0]
-            ) * step
-            off2 = (
-                (luts.edgesrelx[:, 1].astype(np.int64) * ny
-                 + luts.edgesrely[:, 1]) * nz + luts.edgesrelz[:, 1]
-            ) * step
-            edge_cols_dev = _edge_vertex_colors_from_grid(
+            edge_dev = _edge_vertex_colors_from_grid(
                 values_flat, colors_flat,
                 jnp.asarray(np.pad(ci["edge_base"], (0, pad))),
                 jnp.asarray(np.pad(ci["edge_vi"], (0, pad))),
@@ -976,22 +973,45 @@ def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
                 jnp.asarray(off2.astype(np.int32)),
                 iso32,
             )
-            edge_cols_dev.copy_to_host_async()
+            edge_dev.copy_to_host_async()
+        k_c = ci["center_vid"].shape[0]
         if k_c:
             nb = -(-k_c // 1024) * 1024
             pad = nb - k_c
-            deltas = (
-                (luts.CORNER_DX.astype(np.int64) * ny + luts.CORNER_DY) * nz
-                + luts.CORNER_DZ
-            ) * step
-            center_cols_dev = _center_vertex_colors_from_grid(
+            center_dev = _center_vertex_colors_from_grid(
                 values_flat, colors_flat,
                 jnp.asarray(np.pad(ci["center_base"], (0, pad))),
                 jnp.asarray(deltas.astype(np.int32)),
                 iso32,
             )
-            center_cols_dev.copy_to_host_async()
+            center_dev.copy_to_host_async()
+        return edge_dev, center_dev
+
+    try:
+        n_active = active.shape[0]
+        half = n_active // 2
+        chunks = []  # (color_inputs, edge_dev, center_dev)
+
+        t0 = _time.perf_counter()
+        if not mc.geometry(pv, 0, half):
+            return None
+        LAST_TIMINGS["native_geometry_ms"] = (_time.perf_counter() - t0) * 1e3
+
+        t0 = _time.perf_counter()
+        ci1 = mc.color_inputs_since(0, 0)
+        e1, c1 = mc.n_edge, mc.n_center
+        chunks.append((ci1, *launch_blends(ci1)))
         LAST_TIMINGS["color_dispatch_ms"] = (_time.perf_counter() - t0) * 1e3
+
+        t0 = _time.perf_counter()
+        if not mc.geometry(None, half, n_active):
+            return None
+        LAST_TIMINGS["native_geometry_ms"] += (_time.perf_counter() - t0) * 1e3
+
+        t0 = _time.perf_counter()
+        ci2 = mc.color_inputs_since(e1, c1)
+        chunks.append((ci2, *launch_blends(ci2)))
+        LAST_TIMINGS["color_dispatch_ms"] += (_time.perf_counter() - t0) * 1e3
 
         # --- gradient accumulation + finalize in C++ while colors stream ---
         t0 = _time.perf_counter()
@@ -1000,10 +1020,15 @@ def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
 
         t0 = _time.perf_counter()
         vcols = np.zeros((mc.n_verts, 3), np.float32)
-        if edge_cols_dev is not None:
-            vcols[ci["edge_vid"]] = np.asarray(edge_cols_dev)[:n_e]
-        if center_cols_dev is not None:
-            vcols[ci["center_vid"]] = np.asarray(center_cols_dev)[:k_c]
+        for ci, edge_dev, center_dev in chunks:
+            if edge_dev is not None:
+                vcols[ci["edge_vid"]] = np.asarray(edge_dev)[
+                    : ci["edge_vid"].shape[0]
+                ]
+            if center_dev is not None:
+                vcols[ci["center_vid"]] = np.asarray(center_dev)[
+                    : ci["center_vid"].shape[0]
+                ]
         LAST_TIMINGS["colors_wait_ms"] = (_time.perf_counter() - t0) * 1e3
         return Mesh(fverts, vcols, fnormals, stream)
     finally:

@@ -88,12 +88,13 @@ def _load():
         lib.mc_sparse_geometry.restype = ctypes.c_int32
         lib.mc_sparse_geometry.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,           # cell range [start, end)
             ctypes.c_void_p,                          # counts out (4)
         ]
         lib.mc_sparse_color_inputs.restype = None
-        lib.mc_sparse_color_inputs.argtypes = [ctypes.c_void_p] + [
-            ctypes.c_void_p
-        ] * 5
+        lib.mc_sparse_color_inputs.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ] + [ctypes.c_void_p] * 5
         lib.mc_sparse_grad_finalize.restype = None
         lib.mc_sparse_grad_finalize.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -179,8 +180,10 @@ class McSparse:
 
         mc = McSparse(active, lx, ly, lz, nx, ny, nz, step, iso)  # phase A
         pv = np.asarray(pvals_device)     # ... overlaps phase A
-        if mc.ok and mc.geometry(pv):     # phase B
-            ci = mc.color_inputs          # launch device blends with these
+        if mc.ok and mc.geometry(pv, 0, half):          # phase B, chunk 1
+            ci1 = mc.color_inputs_since(0, 0)           # blend chunk 1 now
+            mc.geometry(None, half, n_active)           # phase B, chunk 2
+            ci2 = mc.color_inputs_since(len(ci1[...]))  # blend the rest
             verts, normals, stream = mc.grad_finalize(size3, center3)
         mc.close()
     """
@@ -196,14 +199,23 @@ class McSparse:
         )
         self.ok = bool(self._handle)
 
-    def geometry(self, pvals) -> bool:
-        """Phase B: dispatch + weld + interpolation. False on host/device
-        index mismatch (caller falls back to numpy)."""
-        self._pvals = np.ascontiguousarray(pvals, np.float32)
+    def geometry(self, pvals, start: int = 0, end: int | None = None) -> bool:
+        """Phase B: dispatch + weld + interpolation over cells
+        [start, end) — chunks must be called in ascending order (welding
+        and vertex ranks persist in the handle, so chunking is
+        bit-identical to one pass). ``pvals`` only on the first chunk.
+        False on host/device index mismatch (caller falls back to numpy).
+        Cumulative counts land in n_verts/stream_len/n_edge/n_center."""
+        if pvals is not None:
+            self._pvals = np.ascontiguousarray(pvals, np.float32)
+            pv_ptr, pv_n = _ptr(self._pvals), self._pvals.shape[0]
+        else:
+            pv_ptr, pv_n = None, 0
+        if end is None:
+            end = self._active.shape[0]
         counts = np.zeros(4, np.int64)
         ok = _lib.mc_sparse_geometry(
-            self._handle, _ptr(self._pvals), self._pvals.shape[0],
-            _ptr(counts),
+            self._handle, pv_ptr, pv_n, start, end, _ptr(counts),
         )
         if not ok:
             self.ok = False
@@ -211,20 +223,27 @@ class McSparse:
         self.n_verts, self.stream_len, self.n_edge, self.n_center = (
             int(c) for c in counts
         )
+        return True
+
+    def color_inputs_since(self, edge_from: int = 0, center_from: int = 0):
+        """Device color-blend inputs for edge vertices [edge_from, n_edge)
+        and centers [center_from, n_center) discovered so far."""
+        ne = self.n_edge - edge_from
+        nc = self.n_center - center_from
         ci = {
-            "edge_vid": np.empty(self.n_edge, np.int32),
-            "edge_base": np.empty(self.n_edge, np.int32),
-            "edge_vi": np.empty(self.n_edge, np.uint8),
-            "center_vid": np.empty(self.n_center, np.int32),
-            "center_base": np.empty(self.n_center, np.int32),
+            "edge_vid": np.empty(ne, np.int32),
+            "edge_base": np.empty(ne, np.int32),
+            "edge_vi": np.empty(ne, np.uint8),
+            "center_vid": np.empty(nc, np.int32),
+            "center_base": np.empty(nc, np.int32),
         }
         _lib.mc_sparse_color_inputs(
-            self._handle, _ptr(ci["edge_vid"]), _ptr(ci["edge_base"]),
+            self._handle, edge_from, center_from,
+            _ptr(ci["edge_vid"]), _ptr(ci["edge_base"]),
             _ptr(ci["edge_vi"]), _ptr(ci["center_vid"]),
             _ptr(ci["center_base"]),
         )
-        self.color_inputs = ci
-        return True
+        return ci
 
     def grad_finalize(self, size3, center3):
         """Returns (verts f32 (V,3) world, normals f32 (V,3), stream i32)."""

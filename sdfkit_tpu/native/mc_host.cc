@@ -331,6 +331,8 @@ struct McResult {
     std::vector<uint8_t> edge_vi;
     std::vector<int32_t> center_vid, center_base;
     int64_t n_verts = 0;
+    WeldMap weld;       // persists across geometry chunks
+    int32_t next_rank = 0;
     // State for the deferred gradient pass (mc_sparse_grad_finalize):
     std::vector<int64_t> active;
     std::vector<float> pvals;
@@ -416,8 +418,13 @@ void* mc_sparse_index(const int64_t* active, int64_t n_active,
 // Phase B: dispatch + weld + interpolation, once the point values are in.
 // Returns 1 on success, 0 on host/device index mismatch (caller falls
 // back). counts out: [n_verts, stream_len, n_edge, n_center].
+// Chunked: call with [start, end) cell ranges in ascending order (welding
+// and vertex ranks persist in the handle across calls, so splitting is
+// bit-identical to one pass); pvals may be null after the first call.
+// counts out (cumulative): [n_verts, stream_len, n_edge, n_center].
 int32_t mc_sparse_geometry(void* handle, const float* pvals,
-                           int64_t n_points, int64_t* counts) {
+                           int64_t n_points, int64_t start, int64_t end,
+                           int64_t* counts) {
     McResult* r = static_cast<McResult*>(handle);
     const int64_t lx = r->lx, ly = r->ly;
     const int64_t nx = r->nx, ny = r->ny, nz = r->nz;
@@ -430,8 +437,13 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
     const uint64_t* bm = r->bm.data();
     const int32_t* rank = r->rank.data();
 
-    if (rank[words] != n_points) return 0;  // device/host disagree
-    r->pvals.assign(pvals, pvals + n_points);
+    if (pvals != nullptr) {
+        if (rank[words] != n_points) return 0;  // device/host disagree
+        r->pvals.assign(pvals, pvals + n_points);
+    } else if (r->pvals.empty() && rank[words] != 0) {
+        return 0;  // later chunk without values
+    }
+    const float* pv = r->pvals.data();  // chunk 2+ passes pvals == null
 
     auto pos_of = [&](int64_t pid) -> int64_t {
         const uint64_t word = bm[pid >> 6];
@@ -439,19 +451,23 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
         return rank[pid >> 6] + __builtin_popcountll(below);
     };
 
-    r->verts.reserve(n_active * 3);
-    r->normals.reserve(n_active * 3);
-    r->stream.reserve(n_active * 6);
-    r->stream_vi.reserve(n_active * 6);
-    r->stream_cell.reserve(n_active * 6);
-    r->edge_vid.reserve(n_active);
-    WeldMap weld;
-    weld.init(n_active + 16);
+    if (start == 0) {
+        r->verts.reserve(n_active * 3);
+        r->normals.reserve(n_active * 3);
+        r->stream.reserve(n_active * 6);
+        r->stream_vi.reserve(n_active * 6);
+        r->stream_cell.reserve(n_active * 6);
+        r->edge_vid.reserve(n_active);
+        r->weld.init(n_active + 16);
+        r->next_rank = 0;
+    }
+    WeldMap& weld = r->weld;
+    if (end > n_active) end = n_active;
 
     const float iso_f = static_cast<float>(iso);
-    int32_t next_rank = 0;
+    int32_t next_rank = r->next_rank;
 
-    for (int64_t i = 0; i < n_active; ++i) {
+    for (int64_t i = start; i < end; ++i) {
         const int64_t a = active[i];
         const int64_t cx = a % lx, cy = (a / lx) % ly, cz = a / (lx * ly);
         const int64_t gx = cx * step, gy = cy * step, gz = cz * step;
@@ -464,7 +480,7 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
             const int64_t pid = ((cz + CORNER_DZ[k]) * py_n
                                  + (cy + CORNER_DY[k])) * px_n
                               + (cx + CORNER_DX[k]);
-            const float val = pvals[pos_of(pid)];
+            const float val = pv[pos_of(pid)];
             v8[k] = static_cast<double>(val) - iso;
             if (val > iso_f) case_byte |= 1 << k;
         }
@@ -534,6 +550,7 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
         }
     }
 
+    r->next_rank = next_rank;
     r->n_verts = next_rank;
     counts[0] = r->n_verts;
     counts[1] = static_cast<int64_t>(r->stream.size());
@@ -544,19 +561,26 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
 
 // Copy out the device color-blend inputs (call between begin and
 // grad_finalize so the color dispatch overlaps the gradient pass).
-void mc_sparse_color_inputs(void* handle, int32_t* edge_vid,
+// Export color-blend inputs for edge vertices [edge_from, n_edge) and
+// center vertices [center_from, n_center) — chunked geometry dispatches a
+// blend per chunk so the transfers overlap the remaining host work.
+void mc_sparse_color_inputs(void* handle, int64_t edge_from,
+                            int64_t center_from, int32_t* edge_vid,
                             int32_t* edge_base, uint8_t* edge_vi,
                             int32_t* center_vid, int32_t* center_base) {
     McResult* r = static_cast<McResult*>(handle);
-    std::memcpy(edge_vid, r->edge_vid.data(),
-                r->edge_vid.size() * sizeof(int32_t));
-    std::memcpy(edge_base, r->edge_base.data(),
-                r->edge_base.size() * sizeof(int32_t));
-    std::memcpy(edge_vi, r->edge_vi.data(), r->edge_vi.size());
-    std::memcpy(center_vid, r->center_vid.data(),
-                r->center_vid.size() * sizeof(int32_t));
-    std::memcpy(center_base, r->center_base.data(),
-                r->center_base.size() * sizeof(int32_t));
+    const int64_t ne = static_cast<int64_t>(r->edge_vid.size()) - edge_from;
+    const int64_t nc =
+        static_cast<int64_t>(r->center_vid.size()) - center_from;
+    std::memcpy(edge_vid, r->edge_vid.data() + edge_from,
+                ne * sizeof(int32_t));
+    std::memcpy(edge_base, r->edge_base.data() + edge_from,
+                ne * sizeof(int32_t));
+    std::memcpy(edge_vi, r->edge_vi.data() + edge_from, ne);
+    std::memcpy(center_vid, r->center_vid.data() + center_from,
+                nc * sizeof(int32_t));
+    std::memcpy(center_base, r->center_base.data() + center_from,
+                nc * sizeof(int32_t));
 }
 
 // Part 2: gradient-normal accumulation over the face-reference stream
