@@ -133,6 +133,11 @@ def _fit_step_sharded_fused(optimizer, cfg, mesh, sdf, opt_state, target_sh,
 
         img = jax.shard_map(
             local, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(axis),
+            # Required: pallas_call defeats vma tracking (see
+            # train.build_sharded_render); fused mesh-fit parity is pinned
+            # by tests/test_parallel.py::TestFusedSharded
+            # ::test_fit_mesh_fused_runs and the driver dryrun's
+            # fused-vs-jnp sharded train-step check (__graft_entry__.py).
             check_vma=False,
         )(sdf, ivp, cam)
         row = jnp.arange(img.shape[0])[:, None, None]

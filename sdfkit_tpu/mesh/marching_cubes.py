@@ -932,7 +932,25 @@ def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
     # the point values are still streaming over the link.
     t0 = _time.perf_counter()
     mc = nat.McSparse(active, lx, ly, lz, nx, ny, nz, step, iso)
-    if not mc.ok:
+    try:
+        return _sparse_phase_native_inner(
+            mc, voxels, pvals, values, colors, step, iso, nx, ny, nz, t0,
+            size_center,
+        )
+    finally:
+        # The handle owns copies of the active ids, bitmap, rank and vertex
+        # arrays (tens of MB at 256^3): free it on EVERY exit path,
+        # including an exception in the pvals fetch below (ADVICE r4).
+        mc.close()
+
+
+def _sparse_phase_native_inner(mc, voxels, pvals, values, colors, step: int,
+                               iso: float, nx, ny, nz, t0,
+                               size_center) -> Mesh | None:
+    import time as _time
+
+    active = mc._active
+    if not mc.ok:  # C++ rejected an out-of-range active id (mc_host.cc)
         return None
     LAST_TIMINGS["native_index_ms"] = (_time.perf_counter() - t0) * 1e3
 
@@ -987,49 +1005,46 @@ def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
             center_dev.copy_to_host_async()
         return edge_dev, center_dev
 
-    try:
-        n_active = active.shape[0]
-        half = n_active // 2
-        chunks = []  # (color_inputs, edge_dev, center_dev)
+    n_active = active.shape[0]
+    half = n_active // 2
+    chunks = []  # (color_inputs, edge_dev, center_dev)
 
-        t0 = _time.perf_counter()
-        if not mc.geometry(pv, 0, half):
-            return None
-        LAST_TIMINGS["native_geometry_ms"] = (_time.perf_counter() - t0) * 1e3
+    t0 = _time.perf_counter()
+    if not mc.geometry(pv, 0, half):
+        return None
+    LAST_TIMINGS["native_geometry_ms"] = (_time.perf_counter() - t0) * 1e3
 
-        t0 = _time.perf_counter()
-        ci1 = mc.color_inputs_since(0, 0)
-        e1, c1 = mc.n_edge, mc.n_center
-        chunks.append((ci1, *launch_blends(ci1)))
-        LAST_TIMINGS["color_dispatch_ms"] = (_time.perf_counter() - t0) * 1e3
+    t0 = _time.perf_counter()
+    ci1 = mc.color_inputs_since(0, 0)
+    e1, c1 = mc.n_edge, mc.n_center
+    chunks.append((ci1, *launch_blends(ci1)))
+    LAST_TIMINGS["color_dispatch_ms"] = (_time.perf_counter() - t0) * 1e3
 
-        t0 = _time.perf_counter()
-        if not mc.geometry(None, half, n_active):
-            return None
-        LAST_TIMINGS["native_geometry_ms"] += (_time.perf_counter() - t0) * 1e3
+    t0 = _time.perf_counter()
+    if not mc.geometry(None, half, n_active):
+        return None
+    LAST_TIMINGS["native_geometry_ms"] += (_time.perf_counter() - t0) * 1e3
 
-        t0 = _time.perf_counter()
-        ci2 = mc.color_inputs_since(e1, c1)
-        chunks.append((ci2, *launch_blends(ci2)))
-        LAST_TIMINGS["color_dispatch_ms"] += (_time.perf_counter() - t0) * 1e3
+    t0 = _time.perf_counter()
+    ci2 = mc.color_inputs_since(e1, c1)
+    chunks.append((ci2, *launch_blends(ci2)))
+    LAST_TIMINGS["color_dispatch_ms"] += (_time.perf_counter() - t0) * 1e3
 
-        # --- gradient accumulation + finalize in C++ while colors stream ---
-        t0 = _time.perf_counter()
-        fverts, fnormals, stream = mc.grad_finalize(*size_center)
-        LAST_TIMINGS["grad_finalize_ms"] = (_time.perf_counter() - t0) * 1e3
+    # --- gradient accumulation + finalize in C++ while colors stream ---
+    t0 = _time.perf_counter()
+    fverts, fnormals, stream = mc.grad_finalize(*size_center)
+    LAST_TIMINGS["grad_finalize_ms"] = (_time.perf_counter() - t0) * 1e3
 
-        t0 = _time.perf_counter()
-        vcols = np.zeros((mc.n_verts, 3), np.float32)
-        for ci, edge_dev, center_dev in chunks:
-            if edge_dev is not None:
-                vcols[ci["edge_vid"]] = np.asarray(edge_dev)[
-                    : ci["edge_vid"].shape[0]
-                ]
-            if center_dev is not None:
-                vcols[ci["center_vid"]] = np.asarray(center_dev)[
-                    : ci["center_vid"].shape[0]
-                ]
-        LAST_TIMINGS["colors_wait_ms"] = (_time.perf_counter() - t0) * 1e3
-        return Mesh(fverts, vcols, fnormals, stream)
-    finally:
-        mc.close()
+    t0 = _time.perf_counter()
+    vcols = np.zeros((mc.n_verts, 3), np.float32)
+    for ci, edge_dev, center_dev in chunks:
+        if edge_dev is not None:
+            vcols[ci["edge_vid"]] = np.asarray(edge_dev)[
+                : ci["edge_vid"].shape[0]
+            ]
+        if center_dev is not None:
+            vcols[ci["center_vid"]] = np.asarray(center_dev)[
+                : ci["center_vid"].shape[0]
+            ]
+    LAST_TIMINGS["colors_wait_ms"] = (_time.perf_counter() - t0) * 1e3
+    return Mesh(fverts, vcols, fnormals, stream)

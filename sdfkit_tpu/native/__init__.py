@@ -76,7 +76,7 @@ def _load():
         ]
         lib.decode_bits_i64.restype = ctypes.c_int64
         lib.decode_bits_i64.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.mc_sparse_index.restype = ctypes.c_void_p
         lib.mc_sparse_index.argtypes = [
@@ -162,11 +162,18 @@ def grad_edges(evi, ecell, vid, v8, vg, normals, eps: float) -> None:
 def decode_bits(words: np.ndarray, count: int) -> np.ndarray:
     """Active-cell indices from the packed uint32 bitmap (mc_host.cc
     decode_bits_i64). ``count`` is the known popcount (from the device count
-    sync); the decode asserts it matches."""
+    sync) and also the output capacity: the C scan stops at the capacity and
+    returns -1 instead of overflowing (the bitmap and the count cross the
+    tunneled link in separate transfers, so they CAN disagree). Any mismatch
+    raises here before the caller touches the indices."""
     words = np.ascontiguousarray(words, np.uint32)
     out = np.empty(count, np.int64)
-    n = _lib.decode_bits_i64(_ptr(words), words.shape[0], _ptr(out))
-    assert n == count, (n, count)
+    n = _lib.decode_bits_i64(_ptr(words), words.shape[0], _ptr(out), count)
+    if n != count:
+        raise AssertionError(
+            f"bitmap popcount {'exceeds' if n < 0 else 'is'} "
+            f"{'capacity' if n < 0 else n} vs device count {count}"
+        )
     return out
 
 
@@ -259,9 +266,14 @@ class McSparse:
         return verts, normals, stream
 
     def close(self):
-        if self._handle:
+        if getattr(self, "_handle", None):
             _lib.mc_sparse_free(self._handle)
             self._handle = None
+
+    # Backstop: the handle owns copies of the active ids, bitmap, rank and
+    # vertex arrays (tens of MB at 256^3) — free them even if the caller's
+    # explicit close() is skipped by an exception path.
+    __del__ = close
 
 
 def mc_sequential_baseline(values, colors, step: int, iso: float):

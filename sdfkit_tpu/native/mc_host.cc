@@ -349,14 +349,20 @@ extern "C" {
 // Decode active-cell flat indices from the device-packed bitmap (bit k of
 // word w = cell w*32 + k; see marching_cubes._pack_bits). A ctz scan over
 // set bits only — ~10 ms for 16.6M cells at surface densities — replacing
-// an on-device compaction that cost ~90 ms. Returns the index count.
+// an on-device compaction that cost ~90 ms. ``cap`` is the caller's output
+// capacity (the separately-fetched device popcount): the scan stops and
+// returns -1 the moment it would overflow — the bitmap and the count cross
+// the flaky tunneled link in separate transfers, so a disagreement must
+// fail cleanly in the caller, never scribble past the buffer. Otherwise
+// returns the decoded index count.
 int64_t decode_bits_i64(const uint32_t* words, int64_t n_words,
-                        int64_t* out) {
+                        int64_t* out, int64_t cap) {
     int64_t n = 0;
     for (int64_t w = 0; w < n_words; ++w) {
         uint32_t x = words[w];
         const int64_t base = w * 32;
         while (x) {
+            if (n >= cap) return -1;
             out[n++] = base + __builtin_ctz(x);
             x &= x - 1;
         }
@@ -375,12 +381,13 @@ int64_t decode_bits_i64(const uint32_t* words, int64_t n_words,
 //            ascending point-flat-id order, pid = (pz*(ly+1)+py)*(lx+1)+px
 //            (point coords in cell units)
 //   lx/ly/lz: visited-cell counts per axis;  nx/ny/nz: grid dims
-// Returns an opaque handle (free with mc_sparse_free) or nullptr if the
-// bitmap/rank reconstruction finds an inconsistency (caller falls back).
-// counts out: [n_verts, stream_len, n_edge, n_center].
 // Phase A: the bitmap/rank corner index needs only the active-cell ids —
 // run it WHILE the point values are still streaming over the link.
-// Returns a handle to pass to mc_sparse_geometry (or mc_sparse_free).
+// Returns a handle to pass to mc_sparse_geometry (or mc_sparse_free), or
+// nullptr if any active id is outside [0, lx*ly*lz) — the ids arrive over
+// the flaky tunneled link, and an out-of-range id would index past the
+// corner bitmap below. (The value-count consistency check lives in
+// mc_sparse_geometry, which is where the point values first appear.)
 void* mc_sparse_index(const int64_t* active, int64_t n_active,
                       int64_t lx, int64_t ly, int64_t lz,
                       int64_t nx, int64_t ny, int64_t nz,
@@ -388,6 +395,9 @@ void* mc_sparse_index(const int64_t* active, int64_t n_active,
     const int64_t px_n = lx + 1, py_n = ly + 1;
     const int64_t P = px_n * py_n * (lz + 1);
     const int64_t words = (P + 63) / 64;
+    const int64_t n_cells = lx * ly * lz;
+    for (int64_t i = 0; i < n_active; ++i)
+        if (active[i] < 0 || active[i] >= n_cells) return nullptr;
 
     McResult* r = new McResult();
     r->active.assign(active, active + n_active);

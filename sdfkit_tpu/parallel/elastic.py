@@ -169,7 +169,12 @@ def _make_tile_renderer(sdf, view, cfg, mesh, backend):
 
                 return jax.shard_map(
                     local, mesh=mesh, in_specs=(P(), P(), P(), P()),
-                    out_specs=P(axis), check_vma=False,
+                    out_specs=P(axis),
+                    # Required: pallas_call defeats vma tracking (see
+                    # train.build_sharded_render); tile parity is pinned by
+                    # tests/test_parallel.py::TestFusedSharded
+                    # ::test_elastic_tiles_fused_matches_fused_whole_frame.
+                    check_vma=False,
                 )(sdf, ivp, cam, pix0)[:n_rows]
 
             def render_tile(r0, n_rows):

@@ -116,8 +116,13 @@ def build_sharded_render(mesh: Mesh, sdf, view, cfg: RenderConfig,
             mesh=mesh,
             in_specs=(P(), P(), P()),
             out_specs=P(axis),
-            # pallas_call outputs carry no varying-mesh-axes metadata; the
-            # kernel output genuinely varies per shard via pix0.
+            # check_vma=False is REQUIRED here, not optional: pallas_call
+            # bodies mix per-shard and replicated values that JAX's vma
+            # tracking cannot unify (it raises "workaround: pass
+            # check_vma=False"). The output genuinely varies via pix0;
+            # parity vs the vma-checked jnp shard path is pinned by
+            # tests/test_parallel.py::TestFusedSharded
+            # ::test_render_close_to_fused_single_device.
             check_vma=False,
         )
         return jax.jit(shmapped), (sdf, ivp, cam)
@@ -201,6 +206,10 @@ def _train_step_impl_fused(mesh, sdf, view, cfg, target, lr, n_real_rows):
 
         img = jax.shard_map(
             local, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(axis),
+            # Required: pallas_call defeats vma tracking (see
+            # build_sharded_render); grad parity vs the vma-checked jnp
+            # path is pinned by tests/test_parallel.py::TestFusedSharded
+            # ::test_train_step_matches_jnp_backend.
             check_vma=False,
         )(sdf, ivp, cam)
         row = jnp.arange(img.shape[0])[:, None, None]

@@ -88,13 +88,15 @@ def nearest_neighbors(points, queries, chunk: int = 2048):
 # does: points are sorted by cell id once at build, and a query scans the 27
 # cells around it with STATIC shapes (27 gathers of K = max-bucket-size
 # candidates), so the whole search jits. Exactness is guaranteed, not
-# assumed: a query whose best distance could be beaten by a point outside
-# its 3x3x3 block (best > distance to the block boundary) is re-answered by
-# the brute-force kernel; ties break to the lowest original index, matching
-# brute force bit-for-bit. (At 100k random points the two paths disagreed on
-# 2/100000 queries — and in both the grid's direct-difference d^2 had picked
-# the TRULY closer point where the brute path's MXU q^2-2qp+p^2 expansion
-# had lost ~2e-6 to cancellation.)
+# assumed: a query is re-answered by the brute-force kernel when either
+# (a) its best distance could be beaten by a point outside its 3x3x3 block
+# (best > distance to the block boundary), or (b) the runner-up candidate is
+# within the near-tie epsilon of the winner — on near-ties the brute path's
+# MXU q^2-2qp+p^2 expansion loses ~2e-6 to cancellation and can rank the
+# pair differently than the grid's direct-difference d^2, so the tie is
+# resolved by the brute kernel itself (answers then match it bit-for-bit,
+# including its rounding). Exact ties break to the lowest original index in
+# both paths.
 # ---------------------------------------------------------------------------
 
 GRID_NN_MIN_POINTS = 50_000  # brute force keeps small clouds (MXU-fast)
@@ -104,7 +106,9 @@ GRID_NN_MIN_POINTS = 50_000  # brute force keeps small clouds (MXU-fast)
 def _grid_query(sorted_pts, order, starts, counts, lo, cell, G: int, K: int,
                 queries):
     """Grid NN pass. Returns (orig_idx, guaranteed): ``guaranteed`` marks
-    queries whose answer is provably the exact NN (see GridNN.query)."""
+    queries whose answer is provably the exact NN AND not a near-tie (near
+    ties are resolved by the brute repair pass so the grid matches the brute
+    kernel's own rounding; see GridNN.query)."""
     n = sorted_pts.shape[0]
     q = queries
     qc = jnp.clip(
@@ -123,7 +127,7 @@ def _grid_query(sorted_pts, order, starts, counts, lo, cell, G: int, K: int,
     # of a (Nq, K, 3) gather block made XLA TPU compile for minutes at
     # 100k queries; one rolled body compiles in seconds).
     def block(j, carry):
-        best_d2, best_orig = carry
+        best_d2, best2_d2, best_orig = carry
         c = qc + offsets[j][None, :]
         valid = jnp.all((c >= 0) & (c < G), axis=1)
         cc = jnp.clip(c, 0, G - 1)
@@ -136,7 +140,12 @@ def _grid_query(sorted_pts, order, starts, counts, lo, cell, G: int, K: int,
         diff = pts - q[:, None, :]
         d2 = jnp.where(m, jnp.sum(diff * diff, axis=2), jnp.inf)
         orig = jnp.where(m, jnp.take(order, idx), n)
-        bd = jnp.min(d2, axis=1)
+        # Block's two smallest distances (runner-up feeds the near-tie
+        # check; the pad column keeps top_k happy at K == 1).
+        top2 = -jax.lax.top_k(
+            -jnp.pad(d2, ((0, 0), (0, 1)), constant_values=jnp.inf), 2
+        )[0]
+        bd, bd2 = top2[:, 0], top2[:, 1]
         borig = jnp.min(jnp.where(d2 <= bd[:, None], orig, n), axis=1)
         tie = bd == best_d2
         better = bd < best_d2
@@ -144,11 +153,17 @@ def _grid_query(sorted_pts, order, starts, counts, lo, cell, G: int, K: int,
             better, borig,
             jnp.where(tie, jnp.minimum(borig, best_orig), best_orig),
         )
-        return jnp.where(better, bd, best_d2), best_orig
+        # Merged top-2 over all blocks so far: the runner-up is the smaller
+        # of (loser of the two winners, both previous runner-ups).
+        new_best2 = jnp.minimum(
+            jnp.maximum(best_d2, bd), jnp.minimum(best2_d2, bd2)
+        )
+        return jnp.minimum(best_d2, bd), new_best2, best_orig
 
-    best_d2, best_orig = jax.lax.fori_loop(
+    best_d2, best2_d2, best_orig = jax.lax.fori_loop(
         0, 27, block,
         (
+            jnp.full(q.shape[0], jnp.inf, jnp.float32),
             jnp.full(q.shape[0], jnp.inf, jnp.float32),
             jnp.full(q.shape[0], n, jnp.int32),
         ),
@@ -164,8 +179,15 @@ def _grid_query(sorted_pts, order, starts, counts, lo, cell, G: int, K: int,
     r_safe = jnp.min(jnp.minimum(r_low, r_high), axis=1)
 
     best_d = jnp.sqrt(best_d2)
-    guaranteed = best_d < r_safe  # ties at the boundary go to brute force
-    return best_orig, guaranteed
+    in_block = best_d < r_safe  # ties at the boundary go to brute force
+    # Near-tie between winner and runner-up: the brute kernel's MXU
+    # expansion can rank the pair differently (its d^2 carries ~8 ulp of
+    # cancellation error relative to the coordinate magnitudes), so send
+    # those to the brute repair pass and let IT resolve the tie. The bound
+    # is scale-aware via |q|^2 (the dominant magnitude in q^2 - 2qp + p^2).
+    tie_eps = 1e-5 * (1.0 + jnp.sum(q * q, axis=1))
+    near_tie = (best2_d2 - best_d2) <= tie_eps
+    return best_orig, in_block & ~near_tie
 
 
 class GridNN:
@@ -212,9 +234,12 @@ class GridNN:
         )
 
     def query(self, queries):
-        """Exact NN: grid pass + brute-force repair of unguaranteed queries.
-        Returns (orig_indices, distances) — identical to the brute-force
-        kernel's answers (including lowest-index tie-breaking)."""
+        """Exact NN: grid pass + brute-force repair of unguaranteed queries
+        (out-of-block candidates possible, or winner/runner-up within the
+        near-tie epsilon — see the module comment). Returns
+        (orig_indices, distances) — identical to the brute-force kernel's
+        answers, including its lowest-index tie-breaking and its own
+        rounding on near-ties, because near-ties are answered BY it."""
         q = jnp.asarray(queries, jnp.float32).reshape(-1, 3)
         sorted_pts, order, starts, counts, lo, cell = self._dev
         idx, guaranteed = _grid_query(
@@ -352,9 +377,11 @@ class IterativeClosestPoint:
         trip per iteration for the NN search — up to 100 of them, ~2.5 s of
         pure latency on a tunneled TPU. False runs the whole registration as
         ONE jit'd ``lax.scan`` dispatch on device (register_points_jax; same
-        per-iteration math, convergence freeze instead of early exit). The
-        default (None) picks the device path, falling back to numpy on CPU
-        (where per-dispatch latency is nil and early exit wins) or when the
+        per-iteration math, convergence freeze instead of early exit; past
+        GRID_NN_MIN_POINTS the exact grid-bucket NN runs inside the scan,
+        so large clouds stay one dispatch AND sub-quadratic). The default
+        (None) picks the device path, falling back to numpy on CPU (where
+        per-dispatch latency is nil and early exit wins) or when the
         instance's thresholds were changed from the reference defaults
         (the jit'd path compiles the defaults in)."""
         non_default_thresholds = (
@@ -367,10 +394,6 @@ class IterativeClosestPoint:
                 jax.default_backend() == "cpu"
                 or self.max_iterations != MAX_ITERATIONS
                 or non_default_thresholds
-                # Large static sets: the numpy loop rides the grid-bucket
-                # index (sub-quadratic); the one-dispatch scan is brute
-                # force per iteration.
-                or self._nn.total_points >= self._nn._grid_min
             )
         if not parity and non_default_thresholds:
             # The jit'd path compiles the module-default thresholds in;
@@ -443,29 +466,17 @@ class IterativeClosestPoint:
         return np.linalg.inv(transform).astype(np.float32)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _register_points_jax(static_points, points, max_iterations: int, chunk: int):
-    """Fully on-device, differentiable ICP (the capability the TPU port buys
-    beyond the reference; SURVEY §2 maps ICP to "jnp … trivially
-    differentiable"). Same per-iteration math as the numpy path
-    (IterativeClosestPoint.cs:77-205): NN correspondences, robust distance
-    filter, Kabsch SVD with det fix, inverse-transform application — run
-    under ``lax.scan`` with a convergence freeze (once converged every later
-    step applies the identity), so the whole loop jits and reverse-mode
-    differentiates. Gradients flow through the gathered correspondence
-    points and the SVD; the argmin indices and the keep mask are
-    (correctly) piecewise-constant.
-
-    All matmuls run at float32 precision: the covariance, transform chain and
-    point updates are 3x3/4x4 contractions whose operands differ by ~1e-4
-    near convergence, and the TPU's default bf16 passes stall the iteration
-    at ~1e-2 alignment error (measured on v5e; CPU converges to 1e-7)."""
+def _icp_scan(static_points, points, max_iterations: int, nn_fn):
+    """Shared lax.scan ICP loop body (see _register_points_jax). ``nn_fn``
+    supplies the per-iteration correspondences: the brute-force MXU kernel,
+    or the grid-bucket index with fixed-capacity brute repair — both exact,
+    so the loop's trajectory is independent of the searcher."""
     eye4 = jnp.eye(4, dtype=jnp.float32)
     good = jnp.float32(GOOD_CORRESPONDENCE_DISTANCE)
 
     def step(carry, _):
         pts, total, done = carry
-        idx, dist = _nn_chunked(static_points, pts, chunk)
+        idx, dist = nn_fn(pts)
         cor = static_points[idx]
 
         dist_mean = dist.mean()
@@ -527,14 +538,116 @@ def _register_points_jax(static_points, points, max_iterations: int, chunk: int)
     return aligned, total
 
 
-def register_points_jax(static_points, points, max_iterations: int = MAX_ITERATIONS):
+@partial(jax.jit, static_argnums=(2, 3))
+def _register_points_jax(static_points, points, max_iterations: int, chunk: int):
+    """Fully on-device, differentiable ICP (the capability the TPU port buys
+    beyond the reference; SURVEY §2 maps ICP to "jnp … trivially
+    differentiable"). Same per-iteration math as the numpy path
+    (IterativeClosestPoint.cs:77-205): NN correspondences, robust distance
+    filter, Kabsch SVD with det fix, inverse-transform application — run
+    under ``lax.scan`` with a convergence freeze (once converged every later
+    step applies the identity), so the whole loop jits and reverse-mode
+    differentiates. Gradients flow through the gathered correspondence
+    points and the SVD; the argmin indices and the keep mask are
+    (correctly) piecewise-constant.
+
+    All matmuls run at float32 precision: the covariance, transform chain and
+    point updates are 3x3/4x4 contractions whose operands differ by ~1e-4
+    near convergence, and the TPU's default bf16 passes stall the iteration
+    at ~1e-2 alignment error (measured on v5e; CPU converges to 1e-7)."""
+    return _icp_scan(
+        static_points, points, max_iterations,
+        lambda pts: _nn_chunked(static_points, pts, chunk),
+    )
+
+
+# Per-iteration brute repair capacity of the grid-backed ICP scan. The cond
+# below falls back to a full brute-force pass for any iteration whose
+# unguaranteed-query count exceeds it (typical counts are tens per 100k once
+# the clouds roughly overlap; early badly-misaligned iterations trip the
+# fallback, which is exactly when brute force is the right answer anyway).
+ICP_GRID_REPAIR_CAP = 4096
+
+
+@partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def _register_points_jax_grid(static_points, sorted_pts, order, starts,
+                              counts, lo, cell, points, max_iterations: int,
+                              G: int, K: int, chunk: int):
+    """The grid-backed one-dispatch ICP scan (VERDICT r4 item 3): the exact
+    grid-bucket NN (_grid_query) runs INSIDE the scan step, so large-cloud
+    registration is one device dispatch instead of ~max_iterations tunnel
+    round trips (the reference pays its kd-tree search inside the loop too,
+    IterativeClosestPoint.cs:88-92 + KdTree.cs:160-197). Exactness matches
+    the host GridNN.query path: unguaranteed queries (out-of-block or
+    near-tie, see the grid module comment) are re-answered by the brute MXU
+    kernel — up to ICP_GRID_REPAIR_CAP of them via a fixed-shape repair
+    gather, beyond that by a full brute pass under ``lax.cond`` (only the
+    taken branch executes on TPU). Differentiability is preserved: indices
+    are piecewise-constant and the repair/cond plumbing is integer-only."""
+    n_q = points.shape[0]
+    cap = min(ICP_GRID_REPAIR_CAP, n_q)
+
+    def nn_fn(pts):
+        idx_g, ok = _grid_query(
+            sorted_pts, order, starts, counts, lo, cell, G, K, pts
+        )
+        bad = ~ok
+        n_bad = bad.sum()
+        # Unguaranteed queries first (stable argsort of the guarantee flag),
+        # then one fixed-shape brute pass over that slice.
+        ridx = jnp.argsort(ok)[:cap]
+        bidx, _ = _nn_chunked(static_points, pts[ridx], chunk)
+        idx_fixed = idx_g.at[ridx].set(
+            jnp.where(bad[ridx], bidx, idx_g[ridx])
+        )
+        idx = jax.lax.cond(
+            n_bad > cap,
+            lambda: _nn_chunked(static_points, pts, chunk)[0],
+            lambda: idx_fixed,
+        )
+        cor = static_points[idx]
+        diff = pts - cor
+        # Exact direct-difference distance, same op order as _nn_chunked's
+        # tail and GridNN.query.
+        return idx, jnp.sqrt(jnp.sum(diff * diff, axis=1))
+
+    return _icp_scan(static_points, points, max_iterations, nn_fn)
+
+
+def register_points_jax(static_points, points,
+                        max_iterations: int = MAX_ITERATIONS,
+                        nn: str = "auto"):
     """Differentiable, jit-compiled ICP. Returns (aligned_points,
     total_transform) as jnp arrays; gradients flow to both point sets (e.g.
     ``jax.grad`` of an alignment loss w.r.t. a scan transform works). The
-    numpy :class:`IterativeClosestPoint` remains the reference-parity path."""
+    numpy :class:`IterativeClosestPoint` remains the reference-parity path.
+
+    ``nn``: 'brute' scans all points per iteration (MXU matmul; quadratic),
+    'grid' runs the exact grid-bucket index inside the scan (sub-quadratic;
+    requires a non-degenerate grid build), 'auto' picks 'grid' past
+    GRID_NN_MIN_POINTS when the build succeeds. All choices produce the
+    same correspondences (the grid path brute-repairs every query whose
+    answer isn't provably exact), so the trajectory is searcher-independent.
+    """
     static_points = jnp.asarray(static_points, jnp.float32).reshape(-1, 3)
     points = jnp.asarray(points, jnp.float32).reshape(-1, 3)
     chunk = int(min(2048, max(static_points.shape[0], 1)))
+    if nn not in ("auto", "brute", "grid"):
+        raise ValueError(f"unknown nn mode {nn!r}")
+    if nn != "brute" and (
+        nn == "grid" or static_points.shape[0] >= GRID_NN_MIN_POINTS
+    ):
+        grid = GridNN(np.asarray(static_points))
+        if grid.ok:
+            return _register_points_jax_grid(
+                static_points, *grid._dev, points, int(max_iterations),
+                grid.G, grid.K, chunk,
+            )
+        if nn == "grid":
+            raise ValueError(
+                "grid NN index declined (degenerate clustering: a bucket "
+                "exceeds max_bucket); use nn='brute' or 'auto'"
+            )
     return _register_points_jax(static_points, points, int(max_iterations), chunk)
 
 

@@ -25,11 +25,12 @@ N_VIRTUAL_DEVICES = 8
 
 
 def _force_cpu_devices() -> None:
-    import jax._src.xla_bridge as xb
+    # Public teardown API (jax.extend.backend.clear_backends discards any
+    # eagerly-initialized clients and their memoized lookup); the config
+    # updates then steer the re-initialization to n virtual CPU devices.
+    import jax.extend.backend
 
-    if xb.backends_are_initialized():
-        xb._clear_backends()
-        xb.get_backend.cache_clear()
+    jax.extend.backend.clear_backends()
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", N_VIRTUAL_DEVICES)
 

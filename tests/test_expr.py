@@ -252,3 +252,79 @@ class TestTraceability:
         out1 = eval_at(s, [[0.3, 0.4, 0.5]])
         out2 = eval_at(s2, [[0.3, 0.4, 0.5]])
         np.testing.assert_array_equal(out1, out2)
+
+
+class TestRepeatIndexedColor:
+    """Differentiable per-cell palette (RepeatIndexedColor): the trainable
+    analogue of the reference's SdfIndexedOutputModifierFunc color hooks
+    (SdfExpr.cs:163-178)."""
+
+    def _palette(self):
+        return jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+    def test_cell_colors_follow_table_with_floor_mod(self):
+        s = sk.sphere(0.3).repeat_indexed("x", (1.0,), self._palette())
+        pts = jnp.asarray(
+            [[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0], [-1.0, 0, 0]]
+        )
+        out = np.asarray(s(pts))
+        np.testing.assert_allclose(out[0, :3], [1, 0, 0])
+        np.testing.assert_allclose(out[1, :3], [0, 1, 0])
+        np.testing.assert_allclose(out[2, :3], [1, 0, 0])  # wraps mod T
+        np.testing.assert_allclose(out[3, :3], [0, 1, 0])  # negative cell
+        # Distances are untouched by the color machinery.
+        np.testing.assert_allclose(out[:, 3], -0.3, atol=1e-6)
+
+    def test_matches_color_fn_repeat(self):
+        # Same scene through the static color_fn path: colors must agree.
+        table = self._palette()
+        s_ix = sk.sphere(0.4).repeat_indexed("xy", (1.0, 1.0), table)
+        from sdfkit_tpu.utils.v3 import V3
+
+        def color_fn(i, p, c, d):
+            pos = i.x + i.y
+            pos = pos - jnp.floor(pos / 2.0) * 2.0
+            w = (pos == 0).astype(jnp.float32)
+            return V3(w * 1.0, (1.0 - w) * 1.0, jnp.zeros_like(w))
+
+        s_fn = sk.sphere(0.4).repeat_xy(1.0, 1.0, color_fn)
+        pts = (np.random.default_rng(3).random((64, 3)) * 6 - 3).astype(
+            np.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ix(pts)), np.asarray(s_fn(pts)), atol=1e-6
+        )
+
+    def test_custom_index_fn_and_multiply(self):
+        table = jnp.asarray([[0.5, 0.5, 0.5], [1.0, 1.0, 1.0]])
+        s = sk.sphere(0.3, color=(0.8, 0.4, 0.2)).repeat_indexed(
+            "x", (1.0,), table,
+            index_fn=lambda ix, iy, iz: ix * 3.0,  # 3 mod 2 = 1 at cell 1
+            combine="multiply",
+        )
+        out = np.asarray(s(jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]])))
+        np.testing.assert_allclose(out[0, :3], [0.4, 0.2, 0.1], atol=1e-6)
+        np.testing.assert_allclose(out[1, :3], [0.8, 0.4, 0.2], atol=1e-6)
+
+    def test_table_is_a_data_leaf_with_gradient(self):
+        table = self._palette()
+        s = sk.sphere(0.3).repeat_indexed("x", (1.0,), table)
+        leaves = jax.tree_util.tree_leaves(s)
+        assert any(np.shape(l) == (2, 3) for l in leaves)
+
+        def loss(sdf):
+            pts = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]])
+            return jnp.sum((sdf(pts)[:, :3] - 0.25) ** 2)
+
+        g = jax.grad(loss)(s)
+        gt = np.asarray(g.table)
+        assert gt.shape == (2, 3) and np.abs(gt).sum() > 0
+
+    def test_validation(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="combine"):
+            sk.sphere(1.0).repeat_indexed("x", (1.0,), self._palette(),
+                                          combine="bogus")
+        with pytest.raises(ValueError, match="axes"):
+            sk.sphere(1.0).repeat_indexed("w", (1.0,), self._palette())

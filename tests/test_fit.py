@@ -146,3 +146,54 @@ class TestFitSharded:
         np.testing.assert_allclose(
             float(resumed.sdf.radius), float(full.sdf.radius), atol=1e-5
         )
+
+
+class TestFitIndexedPalette:
+    """fit() optimizing a RepeatIndexedColor palette (VERDICT r4 item 4):
+    the per-cell color table is a data leaf, so the image loss drives the
+    palette itself — impossible through the static color_fn closures."""
+
+    def _scene(self, table):
+        return sk.sphere(0.55).repeat_indexed("xy", (1.25, 1.25), table)
+
+    def test_palette_converges_to_target(self):
+        import jax
+        import optax
+
+        target_table = jnp.asarray([[0.9, 0.1, 0.1], [0.1, 0.9, 0.1]])
+        tgt = np.asarray(sk.render(self._scene(target_table), W, H))
+        start = self._scene(jnp.full((2, 3), 0.5))
+        # Optimize ONLY the palette (geometry already matches the target);
+        # label-routed optax works because the sdf is an ordinary pytree.
+        # NOTE: param_labels must be a callable here — a labels pytree built
+        # by tree_map over an SdfExpr IS an SdfExpr, which optax would call.
+        res = fit(
+            start, tgt, steps=120,
+            optimizer=optax.multi_transform(
+                {"table": optax.adam(0.05), "frozen": optax.set_to_zero()},
+                lambda params: jax.tree_util.tree_map(
+                    lambda l: "table" if np.shape(l) == (2, 3) else "frozen",
+                    params,
+                ),
+            ),
+        )
+        assert res.losses[-1] < 0.05 * res.losses[0]
+        np.testing.assert_allclose(
+            np.asarray(res.sdf.table), np.asarray(target_table), atol=0.1
+        )
+
+    def test_fused_backend_handles_table_leaf(self):
+        target_table = jnp.asarray([[0.9, 0.1, 0.1], [0.1, 0.9, 0.1]])
+        tgt = np.asarray(sk.render(self._scene(target_table), W, H))
+        start = self._scene(jnp.full((2, 3), 0.5))
+        rj = fit(start, tgt, steps=4, learning_rate=0.03, backend="jnp")
+        rf = fit(start, tgt, steps=4, learning_rate=0.03, backend="fused")
+        # The repeated-sphere frame is mostly silhouette pixels, where
+        # interpret-mode FMA contraction drifts and compounds through the
+        # optimizer steps (see tests/test_goldens.py) — hence the looser
+        # bound than the single-sphere fused-vs-jnp test above.
+        np.testing.assert_allclose(rf.losses, rj.losses, rtol=3e-2, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(rf.sdf.table), np.asarray(rj.sdf.table),
+            rtol=3e-2, atol=1e-3,
+        )

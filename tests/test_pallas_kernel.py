@@ -252,3 +252,18 @@ class TestFusedGradients:
             jax.grad(dloss_fused, argnums=(0, 1))(s, view),
             jax.grad(dloss_jnp, argnums=(0, 1))(s, view),
         )
+
+
+class TestIndexedPaletteFused:
+    def test_indexed_palette_scene_matches_jnp(self):
+        # The (T, 3) palette leaf rides the kernel's param flattening; the
+        # one-hot blend must vectorize identically in both backends.
+        import jax.numpy as jnp
+
+        table = jnp.asarray(
+            [[0.9, 0.2, 0.2], [0.2, 0.9, 0.2], [0.2, 0.2, 0.9]]
+        )
+        s = sk.sphere(0.5).repeat_indexed("xy", (1.125, 1.125), table)
+        ij = np.asarray(sk.RayMarcher(W, H, s, backend="jnp").render())
+        iff = np.asarray(sk.RayMarcher(W, H, s, backend="fused").render())
+        assert np.median(np.abs(ij - iff)) < 1e-6
