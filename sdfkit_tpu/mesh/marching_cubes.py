@@ -116,9 +116,16 @@ def _point_mask(mask, lx: int, ly: int, lz: int):
 
 
 @jax.jit
-def _counts2(mask, pmask):
+def _counts3(mask, pmask, words):
+    """The ONE dense-phase sync: active-cell count, unique-point count, and
+    the nonzero-word count of the packed cell bitmap (sizes the two-level
+    bitmap transfer below)."""
     return jnp.stack(
-        [jnp.sum(mask.astype(jnp.int32)), jnp.sum(pmask.astype(jnp.int32))]
+        [
+            jnp.sum(mask.astype(jnp.int32)),
+            jnp.sum(pmask.astype(jnp.int32)),
+            jnp.sum((words != 0).astype(jnp.int32)),
+        ]
     )
 
 
@@ -135,6 +142,24 @@ def _pack_bits(mask):
     return jnp.sum(
         m << jnp.arange(32, dtype=jnp.uint32), axis=1, dtype=jnp.uint32
     )
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _compact_nonzero_words(words, bucket: int):
+    """Two-level bitmap compaction (on device): at surface densities ~98% of
+    the packed cell-bitmap words are zero, so shipping the dense word stream
+    (2 MB at 256^3) wastes the ~10-30 MB/s tunneled link. Ship instead
+    (a) a level-1 bitmap marking the NONZERO words (1 bit/word: 64 KB) and
+    (b) the nonzero words themselves, compacted in order (~0.2-0.4 MB at
+    real surface densities) — a ~5x cut of the dominant dense-phase
+    transfer. The host reconstructs word positions from (a) with the same
+    ctz scan it already uses for cells, then decodes (b)
+    (decode_bits_sparse in mc_host.cc)."""
+    nz = words != 0
+    l1 = _pack_bits(nz)
+    pos = jnp.where(nz, jnp.cumsum(nz.astype(jnp.int32)) - 1, bucket)
+    out = jnp.zeros((bucket + 1,), jnp.uint32)
+    return l1, out.at[pos].set(words, mode="drop")[:bucket]
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
@@ -191,9 +216,14 @@ def _edge_vertex_colors_from_grid(values_flat, colors_flat, base, vi, off1,
     t1 = 1.0 / (eps + jnp.abs(va))
     t2 = 1.0 / (eps + jnp.abs(vb))
     w = (t1 / (t1 + t2))[:, None]
-    return jnp.take(colors_flat, i1, axis=0) * w + jnp.take(
+    blend = jnp.take(colors_flat, i1, axis=0) * w + jnp.take(
         colors_flat, i2, axis=0
     ) * (1.0 - w)
+    # f16 on the wire: the vertex-color fetch is the largest remaining mesh
+    # transfer (V x 12 B) over a ~10-30 MB/s link; halving it costs <= 2^-11
+    # relative quantization, identical across every path (numpy, C++,
+    # sharded) because they all blend through this kernel. Hosts upcast.
+    return blend.astype(jnp.float16)
 
 
 @jax.jit
@@ -208,32 +238,8 @@ def _center_vertex_colors_from_grid(values_flat, colors_flat, base, deltas,
     s = 1.0 / (jnp.float32(FLT_EPSILON) + jnp.abs(vv))
     w = s / jnp.sum(s, axis=1, keepdims=True)
     c = jnp.take(colors_flat, ids, axis=0).reshape(n, 8, 3)
-    return jnp.sum(c * w[:, :, None], axis=1)
-
-
-@jax.jit
-def _edge_vertex_colors(colors_flat, i1, i2, w1):
-    """Vertex colors for edge vertices, on device: gather the two endpoint
-    colors from the flat (nx*ny*nz, 3) color grid and blend with the host-
-    computed inverse-|value| weight (Cell.AddFaceFromEdgeIndex color
-    interpolation, Cell.cs:298-311; w2 = 1 - w1 up to one f32 ulp)."""
-    w = w1[:, None]
-    return jnp.take(colors_flat, i1, axis=0) * w + jnp.take(
-        colors_flat, i2, axis=0
-    ) * (1.0 - w)
-
-
-@jax.jit
-def _center_vertex_colors(colors_flat, base, deltas, w8):
-    """Vertex colors for center (v12) vertices, on device: 8-corner weighted
-    blend (Cell.CalculateCenterVertex, Cell.cs:501-549). ``base`` are cell-
-    origin flat grid ids, ``deltas`` the 8 corner flat-id offsets, ``w8`` the
-    host-computed normalized strengths."""
-    ids = base[:, None] + deltas[None, :]
-    c = jnp.take(colors_flat, ids.reshape(-1), axis=0).reshape(
-        base.shape[0], 8, 3
-    )
-    return jnp.sum(c * w8[:, :, None], axis=1)
+    # f16 on the wire (see _edge_vertex_colors_from_grid).
+    return jnp.sum(c * w[:, :, None], axis=1).astype(jnp.float16)
 
 
 def _test_face(face, v8):
@@ -550,8 +556,9 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
                 progress(float(z) / nz_bound)
     mask_all = jnp.concatenate(mask_parts) if len(mask_parts) > 1 else mask_parts[0]
     pmask = _point_mask(mask_all, lx, ly, lz)
-    counts = np.asarray(_counts2(mask_all, pmask))  # the ONE dense-phase sync
-    count, pcount = int(counts[0]), int(counts[1])
+    cellbits = _pack_bits(mask_all)
+    counts = np.asarray(_counts3(mask_all, pmask, cellbits))  # the ONE sync
+    count, pcount, nzw = int(counts[0]), int(counts[1]), int(counts[2])
     LAST_TIMINGS.clear()
     LAST_TIMINGS["dense_classify_ms"] = (_time.perf_counter() - t0) * 1e3
 
@@ -562,19 +569,29 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
 
     t0 = _time.perf_counter()
     psize = _fetch_bucket(pcount)
-    # Two dispatches so the cell-bitmap transfer overlaps the point-value
-    # compaction on device; both host copies start async and the point
-    # values stream over the link WHILE the host decodes the bitmap and
-    # builds its corner index (mc_host.cc).
-    cellbits = _pack_bits(mask_all)
-    cellbits.copy_to_host_async()
+    # Three dispatches, transfers started async in increasing size order so
+    # the point values stream over the link WHILE the host decodes the
+    # two-level bitmap and builds its corner index (mc_host.cc). The dense
+    # word stream never crosses the link — only the level-1 bitmap and the
+    # compacted nonzero words do (_compact_nonzero_words).
+    wbucket = -(-nzw // 8192) * 8192
+    l1bits, nzwords = _compact_nonzero_words(cellbits, wbucket)
+    l1bits.copy_to_host_async()
+    nzwords.copy_to_host_async()
     pvals = _scatter_point_values(values_dev, pmask, step, lx, ly, lz, psize)
     pvals.copy_to_host_async()
-    words = np.asarray(cellbits)
+    l1_host = np.asarray(l1bits)
+    nzwords_host = np.asarray(nzwords)[:nzw]
     nat = _native()
     if nat is not None:
-        active = nat.decode_bits(words, count)
+        wpos = nat.decode_bits(l1_host, nzw)
+        active = nat.decode_bits_sparse(wpos, nzwords_host, count)
     else:
+        l1bools = np.unpackbits(l1_host.view(np.uint8), bitorder="little")
+        wpos = np.flatnonzero(l1bools[: (lx * ly * lz + 31) // 32])
+        assert wpos.size == nzw
+        words = np.zeros((lx * ly * lz + 31) // 32, np.uint32)
+        words[wpos] = nzwords_host
         bools = np.unpackbits(words.view(np.uint8), bitorder="little")
         active = np.flatnonzero(bools[: lx * ly * lz]).astype(np.int64)
         assert active.size == count

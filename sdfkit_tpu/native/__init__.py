@@ -40,7 +40,8 @@ def _build() -> str | None:
             # popcounts per lookup, and without it __builtin_popcountll
             # lowers to a libgcc call. Fall back to portable flags if the
             # toolchain rejects it.
-            base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
+            base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    "-pthread"]
             try:
                 subprocess.run(
                     base + ["-march=native", *_SRCS, "-o", tmp],
@@ -77,6 +78,11 @@ def _load():
         lib.decode_bits_i64.restype = ctypes.c_int64
         lib.decode_bits_i64.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.decode_bits_sparse_i64.restype = ctypes.c_int64
+        lib.decode_bits_sparse_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.mc_sparse_index.restype = ctypes.c_void_p
         lib.mc_sparse_index.argtypes = [
@@ -172,6 +178,26 @@ def decode_bits(words: np.ndarray, count: int) -> np.ndarray:
     if n != count:
         raise AssertionError(
             f"bitmap popcount {'exceeds' if n < 0 else 'is'} "
+            f"{'capacity' if n < 0 else n} vs device count {count}"
+        )
+    return out
+
+
+def decode_bits_sparse(wpos: np.ndarray, wvals: np.ndarray,
+                       count: int) -> np.ndarray:
+    """Active-cell indices from the TWO-LEVEL bitmap (mc_host.cc
+    decode_bits_sparse_i64): ``wpos`` are nonzero-word positions (from
+    decode_bits of the level-1 bitmap), ``wvals`` their word values. Same
+    capacity/mismatch contract as decode_bits."""
+    wpos = np.ascontiguousarray(wpos, np.int64)
+    wvals = np.ascontiguousarray(wvals, np.uint32)
+    out = np.empty(count, np.int64)
+    n = _lib.decode_bits_sparse_i64(
+        _ptr(wpos), _ptr(wvals), wpos.shape[0], _ptr(out), count
+    )
+    if n != count:
+        raise AssertionError(
+            f"sparse bitmap popcount {'exceeds' if n < 0 else 'is'} "
             f"{'capacity' if n < 0 else n} vs device count {count}"
         )
     return out

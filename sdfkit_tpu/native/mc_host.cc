@@ -30,6 +30,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "_mc_luts.h"
@@ -331,7 +332,11 @@ struct McResult {
     std::vector<uint8_t> edge_vi;
     std::vector<int32_t> center_vid, center_base;
     int64_t n_verts = 0;
-    WeldMap weld;       // persists across geometry chunks
+    WeldMap weld;       // persists across geometry chunks (threaded merge)
+    std::vector<int64_t> layers;  // rolling-layer weld slots (direct path)
+    int geo_mode = 0;   // 0 = undecided, 1 = direct, 2 = threaded (pinned
+                        // on the first geometry call: the two paths keep
+                        // different dedup state, so chunks must not mix)
     int32_t next_rank = 0;
     // State for the deferred gradient pass (mc_sparse_grad_finalize):
     std::vector<int64_t> active;
@@ -361,6 +366,25 @@ int64_t decode_bits_i64(const uint32_t* words, int64_t n_words,
     for (int64_t w = 0; w < n_words; ++w) {
         uint32_t x = words[w];
         const int64_t base = w * 32;
+        while (x) {
+            if (n >= cap) return -1;
+            out[n++] = base + __builtin_ctz(x);
+            x &= x - 1;
+        }
+    }
+    return n;
+}
+
+// Sparse variant for the two-level bitmap (marching_cubes
+// _compact_nonzero_words): ``wpos`` are the word positions decoded from the
+// level-1 bitmap, ``wvals`` the corresponding nonzero words — only those
+// crossed the link. Same capacity contract as decode_bits_i64.
+int64_t decode_bits_sparse_i64(const int64_t* wpos, const uint32_t* wvals,
+                               int64_t n_words, int64_t* out, int64_t cap) {
+    int64_t n = 0;
+    for (int64_t i = 0; i < n_words; ++i) {
+        uint32_t x = wvals[i];
+        const int64_t base = wpos[i] * 32;
         while (x) {
             if (n >= cap) return -1;
             out[n++] = base + __builtin_ctz(x);
@@ -425,35 +449,35 @@ void* mc_sparse_index(const int64_t* active, int64_t n_active,
     return r;
 }
 
-// Phase B: dispatch + weld + interpolation, once the point values are in.
-// Returns 1 on success, 0 on host/device index mismatch (caller falls
-// back). counts out: [n_verts, stream_len, n_edge, n_center].
-// Chunked: call with [start, end) cell ranges in ascending order (welding
-// and vertex ranks persist in the handle across calls, so splitting is
-// bit-identical to one pass); pvals may be null after the first call.
-// counts out (cumulative): [n_verts, stream_len, n_edge, n_center].
-int32_t mc_sparse_geometry(void* handle, const float* pvals,
-                           int64_t n_points, int64_t start, int64_t end,
-                           int64_t* counts) {
-    McResult* r = static_cast<McResult*>(handle);
+// Per-worker output of the threaded geometry pass: everything welded with
+// LOCAL ranks; the sequential merge below assigns global first-occurrence
+// ranks. See mc_sparse_geometry for the bit-identity argument.
+struct LocalGeo {
+    WeldMap weld;
+    std::vector<int64_t> keys;       // per local vid: canonical weld key
+    std::vector<double> verts;       // per local vid: (x, y, z) index-space
+    std::vector<uint8_t> vert_vi;    // per local vid: edge index (12 = center)
+    std::vector<int32_t> vert_base;  // per local vid: cell-origin flat grid id
+    std::vector<int32_t> stream;     // local vids, reference order
+    std::vector<uint8_t> stream_vi;
+    std::vector<int32_t> stream_cell;
+};
+
+// The per-cell loop over [start, end), welding into a LocalGeo (no shared
+// mutable state — safe to run one instance per thread).
+static void geo_worker(const McResult* r, int64_t start, int64_t end,
+                       LocalGeo* L) {
     const int64_t lx = r->lx, ly = r->ly;
     const int64_t nx = r->nx, ny = r->ny, nz = r->nz;
     const int64_t step = r->step;
     const double iso = r->iso;
-    const int64_t n_active = static_cast<int64_t>(r->active.size());
     const int64_t px_n = lx + 1, py_n = ly + 1;
-    const int64_t words = static_cast<int64_t>(r->bm.size());
     const int64_t* active = r->active.data();
     const uint64_t* bm = r->bm.data();
     const int32_t* rank = r->rank.data();
-
-    if (pvals != nullptr) {
-        if (rank[words] != n_points) return 0;  // device/host disagree
-        r->pvals.assign(pvals, pvals + n_points);
-    } else if (r->pvals.empty() && rank[words] != 0) {
-        return 0;  // later chunk without values
-    }
-    const float* pv = r->pvals.data();  // chunk 2+ passes pvals == null
+    const float* pv = r->pvals.data();
+    const float iso_f = static_cast<float>(iso);
+    const int64_t span = end - start;
 
     auto pos_of = [&](int64_t pid) -> int64_t {
         const uint64_t word = bm[pid >> 6];
@@ -461,21 +485,15 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
         return rank[pid >> 6] + __builtin_popcountll(below);
     };
 
-    if (start == 0) {
-        r->verts.reserve(n_active * 3);
-        r->normals.reserve(n_active * 3);
-        r->stream.reserve(n_active * 6);
-        r->stream_vi.reserve(n_active * 6);
-        r->stream_cell.reserve(n_active * 6);
-        r->edge_vid.reserve(n_active);
-        r->weld.init(n_active + 16);
-        r->next_rank = 0;
-    }
-    WeldMap& weld = r->weld;
-    if (end > n_active) end = n_active;
-
-    const float iso_f = static_cast<float>(iso);
-    int32_t next_rank = r->next_rank;
+    L->weld.init(span + 16);
+    L->keys.reserve(span);
+    L->verts.reserve(span * 3);
+    L->vert_vi.reserve(span);
+    L->vert_base.reserve(span);
+    L->stream.reserve(span * 6);
+    L->stream_vi.reserve(span * 6);
+    L->stream_cell.reserve(span * 6);
+    int32_t next_rank = 0;
 
     for (int64_t i = start; i < end; ++i) {
         const int64_t a = active[i];
@@ -500,6 +518,8 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
         const int8_t* rows = dispatch_cell(casenum, config, v8, &nt);
         if (rows == nullptr || nt == 0) continue;
 
+        const int32_t base32 =
+            static_cast<int32_t>((gx * ny + gy) * nz + gz);
         for (int e = 0; e < 3 * nt; ++e) {
             const int vi = rows[e];
             const int64_t kx = gx + step * KEY_OX[vi];
@@ -508,7 +528,126 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
             const int64_t key =
                 ((kz * ny + ky) * nx + kx) * 4 + KEY_J[vi];
             bool fresh = false;
-            const int32_t vid = weld.lookup_or_insert(key, next_rank, &fresh);
+            const int32_t vid =
+                L->weld.lookup_or_insert(key, next_rank, &fresh);
+            L->stream.push_back(vid);
+            L->stream_vi.push_back(static_cast<uint8_t>(vi));
+            L->stream_cell.push_back(static_cast<int32_t>(i));
+            if (fresh) {
+                ++next_rank;
+                L->keys.push_back(key);
+                L->vert_vi.push_back(static_cast<uint8_t>(vi));
+                L->vert_base.push_back(base32);
+                if (vi < 12) {
+                    const int r1x = EDGESRELX[vi * EDGESRELX_S0 + 0];
+                    const int r1y = EDGESRELY[vi * EDGESRELY_S0 + 0];
+                    const int r1z = EDGESRELZ[vi * EDGESRELZ_S0 + 0];
+                    const int r2x = EDGESRELX[vi * EDGESRELX_S0 + 1];
+                    const int r2y = EDGESRELY[vi * EDGESRELY_S0 + 1];
+                    const int r2z = EDGESRELZ[vi * EDGESRELZ_S0 + 1];
+                    const double va = v8[EDGE_MC1[vi]];
+                    const double vb = v8[EDGE_MC2[vi]];
+                    const double t1 = 1.0 / (FLT_EPS + std::fabs(va));
+                    const double t2 = 1.0 / (FLT_EPS + std::fabs(vb));
+                    const double ff = t1 + t2;
+                    L->verts.push_back(gx + step * (r1x * t1 + r2x * t2) / ff);
+                    L->verts.push_back(gy + step * (r1y * t1 + r2y * t2) / ff);
+                    L->verts.push_back(gz + step * (r1z * t1 + r2z * t2) / ff);
+                } else {  // center vertex v12
+                    double s[8], ff = 0.0, fx = 0.0, fy = 0.0, fz = 0.0;
+                    for (int k = 0; k < 8; ++k) {
+                        s[k] = 1.0 / (FLT_EPS + std::fabs(v8[k]));
+                        ff += s[k];
+                        fx += s[k] * CORNER_DX[k];
+                        fy += s[k] * CORNER_DY[k];
+                        fz += s[k] * CORNER_DZ[k];
+                    }
+                    L->verts.push_back(gx + step * fx / ff);
+                    L->verts.push_back(gy + step * fy / ff);
+                    L->verts.push_back(gz + step * fz / ff);
+                }
+            }
+        }
+    }
+}
+
+// Direct sequential pass over [start, end): welds straight into the global
+// structures via EPOCH-STAMPED ROLLING FACE LAYERS — the reference's
+// face-layer dedup (Cell.cs:123-143) turned O(1): a vertex's owner slot is
+// (owner cell x/y, slot j, z parity), a plain array index, and the packed
+// (epoch+1)<<32 | vid entry makes stale layers invalid WITHOUT clearing
+// (epoch = owner z layer; active cells arrive in ascending (z, y, x)
+// order, so one 2-layer window suffices — and chunk boundaries at
+// arbitrary cell indices are fine because the window persists in the
+// handle). Replaces the hash weld on this path: ~2M probe chains at 256^3
+// were the pass's dominant cost; a slot is one load + one compare.
+// Produces EXACTLY the same first-occurrence ranks as the hash (both key
+// the same (owner, slot) identity in visit order).
+static void geo_direct(McResult* r, int64_t start, int64_t end) {
+    const int64_t lx = r->lx, ly = r->ly;
+    const int64_t nx = r->nx, ny = r->ny, nz = r->nz;
+    const int64_t step = r->step;
+    const double iso = r->iso;
+    const int64_t px_n = lx + 1, py_n = ly + 1;
+    const int64_t* active = r->active.data();
+    const uint64_t* bm = r->bm.data();
+    const int32_t* rank = r->rank.data();
+    const float* pv = r->pvals.data();
+    const float iso_f = static_cast<float>(iso);
+    const int64_t layer_stride = px_n * py_n * 4;
+
+    auto pos_of = [&](int64_t pid) -> int64_t {
+        const uint64_t word = bm[pid >> 6];
+        const uint64_t below = word & ((1ull << (pid & 63)) - 1);
+        return rank[pid >> 6] + __builtin_popcountll(below);
+    };
+
+    if (r->layers.empty()) r->layers.assign(layer_stride * 2, 0);
+    int64_t* lay = r->layers.data();
+    int32_t next_rank = r->next_rank;
+
+    for (int64_t i = start; i < end; ++i) {
+        const int64_t a = active[i];
+        const int64_t cx = a % lx, cy = (a / lx) % ly, cz = a / (lx * ly);
+        const int64_t gx = cx * step, gy = cy * step, gz = cz * step;
+
+        double v8[8];
+        int case_byte = 0;
+        for (int k = 0; k < 8; ++k) {
+            const int64_t pid = ((cz + CORNER_DZ[k]) * py_n
+                                 + (cy + CORNER_DY[k])) * px_n
+                              + (cx + CORNER_DX[k]);
+            const float val = pv[pos_of(pid)];
+            v8[k] = static_cast<double>(val) - iso;
+            if (val > iso_f) case_byte |= 1 << k;
+        }
+        const int casenum = CASES[case_byte * CASES_S0 + 0];
+        const int config = CASES[case_byte * CASES_S0 + 1];
+        int nt = 0;
+        const int8_t* rows = dispatch_cell(casenum, config, v8, &nt);
+        if (rows == nullptr || nt == 0) continue;
+
+        const int32_t base32 =
+            static_cast<int32_t>((gx * ny + gy) * nz + gz);
+        for (int e = 0; e < 3 * nt; ++e) {
+            const int vi = rows[e];
+            const int64_t oz = cz + KEY_OZ[vi];
+            const int64_t slot =
+                (oz & 1) * layer_stride
+                + ((cy + KEY_OY[vi]) * px_n + (cx + KEY_OX[vi])) * 4
+                + KEY_J[vi];
+            const int64_t stamp = (oz + 1) << 32;
+            const int64_t entry = lay[slot];
+            int32_t vid;
+            bool fresh;
+            if ((entry & ~0xffffffffll) == stamp) {
+                vid = static_cast<int32_t>(entry & 0xffffffffll);
+                fresh = false;
+            } else {
+                vid = next_rank;
+                lay[slot] = stamp | static_cast<uint32_t>(vid);
+                fresh = true;
+            }
             r->stream.push_back(vid);
             r->stream_vi.push_back(static_cast<uint8_t>(vi));
             r->stream_cell.push_back(static_cast<int32_t>(i));
@@ -532,13 +671,8 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
                     r->verts.push_back(gx + step * (r1x * t1 + r2x * t2) / ff);
                     r->verts.push_back(gy + step * (r1y * t1 + r2y * t2) / ff);
                     r->verts.push_back(gz + step * (r1z * t1 + r2z * t2) / ff);
-                    // Color-blend inputs: just (cell base, edge) — the
-                    // device recomputes endpoints and inverse-|value|
-                    // weights from its resident value grid, ~2.4x less
-                    // host->device traffic than shipping i1/i2/w1.
                     r->edge_vid.push_back(vid);
-                    r->edge_base.push_back(
-                        static_cast<int32_t>((gx * ny + gy) * nz + gz));
+                    r->edge_base.push_back(base32);
                     r->edge_vi.push_back(static_cast<uint8_t>(vi));
                 } else {  // center vertex v12
                     double s[8], ff = 0.0, fx = 0.0, fy = 0.0, fz = 0.0;
@@ -553,11 +687,152 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
                     r->verts.push_back(gy + step * fy / ff);
                     r->verts.push_back(gz + step * fz / ff);
                     r->center_vid.push_back(vid);
-                    r->center_base.push_back(
-                        static_cast<int32_t>((gx * ny + gy) * nz + gz));
+                    r->center_base.push_back(base32);
                 }
             }
         }
+    }
+    r->next_rank = next_rank;
+}
+
+// Phase B: dispatch + weld + interpolation, once the point values are in.
+// Returns 1 on success, 0 on host/device index mismatch (caller falls
+// back). Chunked: call with [start, end) cell ranges in ascending order
+// (welding and vertex ranks persist in the handle across calls, so
+// splitting is bit-identical to one pass); pvals may be null after the
+// first call. counts out (cumulative): [n_verts, stream_len, n_edge,
+// n_center].
+//
+// THREADED internally: the [start, end) range is split into one contiguous
+// sub-range per hardware thread; each worker runs the full per-cell pass
+// with a LOCAL weld map (geo_worker above), then a sequential merge assigns
+// global ranks. The merge is BIT-IDENTICAL to one sequential pass:
+//  - a key's winning vertex is the one from the EARLIEST sub-range that saw
+//    it, at that range's first-occurrence cell — exactly the cell the
+//    sequential pass would have interpolated it at (identical arithmetic;
+//    later ranges' duplicate verts are discarded);
+//  - global ranks are assigned walking (range order, local-rank order,
+//    winners only), which IS global first-occurrence order, so vertex ids,
+//    the triangle stream, and the color-input order all match;
+//  - the gradient pass (mc_sparse_grad_finalize) still walks the merged
+//    stream sequentially, so normal accumulation order is unchanged.
+// Pinned against the numpy oracle in tests/test_native.py.
+int32_t mc_sparse_geometry(void* handle, const float* pvals,
+                           int64_t n_points, int64_t start, int64_t end,
+                           int64_t* counts) {
+    McResult* r = static_cast<McResult*>(handle);
+    const int64_t n_active = static_cast<int64_t>(r->active.size());
+    const int64_t words = static_cast<int64_t>(r->bm.size());
+    const int32_t* rank = r->rank.data();
+
+    if (pvals != nullptr) {
+        if (rank[words] != n_points) return 0;  // device/host disagree
+        r->pvals.assign(pvals, pvals + n_points);
+    } else if (r->pvals.empty() && rank[words] != 0) {
+        return 0;  // later chunk without values
+    }
+
+    if (start == 0) {
+        r->verts.reserve(n_active * 3);
+        r->normals.reserve(n_active * 3);
+        r->stream.reserve(n_active * 6);
+        r->stream_vi.reserve(n_active * 6);
+        r->stream_cell.reserve(n_active * 6);
+        r->edge_vid.reserve(n_active);
+        r->weld.init(n_active + 16);
+        r->next_rank = 0;
+    }
+    if (end > n_active) end = n_active;
+    if (end < start) end = start;
+
+    // Partition the range across workers (each sub-range must be big enough
+    // to amortize its local weld map; small ranges run single-threaded).
+    // On hosts with < 4 hardware threads the "spare" cores are busy running
+    // the accelerator runtime and the tunnel I/O — measured on the 2-core
+    // bench host, 2 workers + merge LOSE to the sequential pass — so those
+    // take the direct rolling-layer path (geo_direct, which also replaces
+    // the hash weld with O(1) layer slots).
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw == 0) hw = 1;
+    int64_t n_workers = static_cast<int64_t>(hw);
+    const int64_t span = end - start;
+    if (hw < 4 || span < 16384) n_workers = 1;
+    if (n_workers > span) n_workers = span > 0 ? span : 1;
+    if (r->geo_mode == 0) r->geo_mode = n_workers <= 1 ? 1 : 2;
+
+    if (r->geo_mode == 1) {
+        geo_direct(r, start, end);
+        r->n_verts = r->next_rank;
+        counts[0] = r->n_verts;
+        counts[1] = static_cast<int64_t>(r->stream.size());
+        counts[2] = static_cast<int64_t>(r->edge_vid.size());
+        counts[3] = static_cast<int64_t>(r->center_vid.size());
+        return 1;
+    }
+
+    std::vector<LocalGeo> locals(n_workers);
+    {
+        std::vector<std::thread> threads;
+        const int64_t per = (span + n_workers - 1) / n_workers;
+        for (int64_t w = 0; w < n_workers; ++w) {
+            const int64_t s = start + w * per;
+            const int64_t e = std::min(end, s + per);
+            if (s >= e) break;
+            if (w + 1 == n_workers || s + per >= end) {
+                geo_worker(r, s, e, &locals[w]);  // run last on this thread
+            } else {
+                threads.emplace_back(geo_worker, r, s, e, &locals[w]);
+            }
+        }
+        for (auto& t : threads) t.join();
+    }
+
+    // Sequential merge: global first-occurrence ranks + stream rewrite.
+    WeldMap& weld = r->weld;
+    int32_t next_rank = r->next_rank;
+    std::vector<std::vector<int32_t>> remaps(n_workers);
+    for (int64_t w = 0; w < n_workers; ++w) {
+        LocalGeo& L = locals[w];
+        const int64_t nloc = static_cast<int64_t>(L.keys.size());
+        remaps[w].resize(nloc);
+        for (int64_t lv = 0; lv < nloc; ++lv) {
+            bool fresh = false;
+            const int32_t vid =
+                weld.lookup_or_insert(L.keys[lv], next_rank, &fresh);
+            remaps[w][lv] = vid;
+            if (!fresh) continue;
+            ++next_rank;
+            r->verts.push_back(L.verts[lv * 3 + 0]);
+            r->verts.push_back(L.verts[lv * 3 + 1]);
+            r->verts.push_back(L.verts[lv * 3 + 2]);
+            r->normals.push_back(0.0f);
+            r->normals.push_back(0.0f);
+            r->normals.push_back(0.0f);
+            const uint8_t vi = L.vert_vi[lv];
+            if (vi < 12) {
+                // Color-blend inputs: just (cell base, edge) — the device
+                // recomputes endpoints and inverse-|value| weights from its
+                // resident value grid, ~2.4x less host->device traffic
+                // than shipping i1/i2/w1.
+                r->edge_vid.push_back(vid);
+                r->edge_base.push_back(L.vert_base[lv]);
+                r->edge_vi.push_back(vi);
+            } else {
+                r->center_vid.push_back(vid);
+                r->center_base.push_back(L.vert_base[lv]);
+            }
+        }
+    }
+    for (int64_t w = 0; w < n_workers; ++w) {
+        LocalGeo& L = locals[w];
+        const int32_t* remap = remaps[w].data();
+        const int64_t slen = static_cast<int64_t>(L.stream.size());
+        for (int64_t e = 0; e < slen; ++e)
+            r->stream.push_back(remap[L.stream[e]]);
+        r->stream_vi.insert(r->stream_vi.end(), L.stream_vi.begin(),
+                            L.stream_vi.end());
+        r->stream_cell.insert(r->stream_cell.end(), L.stream_cell.begin(),
+                              L.stream_cell.end());
     }
 
     r->next_rank = next_rank;

@@ -326,26 +326,37 @@ class TestGridNN:
         )
 
         rng = np.random.default_rng(4)
-        # Two dense clusters + a sparse shell; queries include far outliers
-        # (every 27-block empty -> full brute-force repair path).
+        # Two mild clusters + a sparse shell; queries include far outliers
+        # (every 27-block empty -> full brute-force repair path) and
+        # clustered queries (slot-overflow -> repair).
         pts = np.concatenate([
-            rng.normal(0, 0.05, (5000, 3)),
-            rng.normal(2, 0.05, (5000, 3)),
+            rng.normal(0, 1.0, (5000, 3)),
+            rng.normal(2, 1.0, (5000, 3)),
             rng.uniform(-3, 3, (500, 3)),
         ]).astype(np.float32)
         q = np.concatenate([
-            rng.normal(0, 0.5, (500, 3)),
+            rng.normal(0, 0.1, (500, 3)),   # piled into few cells
             rng.uniform(-20, 20, (100, 3)),
         ]).astype(np.float32)
-        # Dense clusters blow past the default bucket cap (which would
-        # decline and use brute force); raise it so the grid + repair path
-        # itself is exercised on hostile data.
-        grid = GridNN(pts, max_bucket=10**6)
+        grid = GridNN(pts)
         assert grid.ok
         gi, gd = grid.query(q)
         bi, bd = nearest_neighbors(pts, q)
         np.testing.assert_array_equal(gi, np.asarray(bi))
         np.testing.assert_allclose(gd, np.asarray(bd), rtol=2e-7)
+
+    def test_degenerate_clustering_declines(self):
+        from sdfkit_tpu.registration.icp import GridNN
+
+        rng = np.random.default_rng(7)
+        # Thousands of points in one bucket: the dense O(G^3 K Kq) layout
+        # must decline (callers then use the brute MXU kernel) — even with
+        # the bucket cap lifted, the memory guard holds.
+        pts = np.concatenate([
+            rng.normal(0, 0.01, (5000, 3)),
+            rng.uniform(-3, 3, (200, 3)),
+        ]).astype(np.float32)
+        assert not GridNN(pts, max_bucket=10**6).ok
 
     def test_nearest_neighbors_class_routes_large_sets(self):
         from sdfkit_tpu.registration.icp import NearestNeighbors
