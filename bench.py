@@ -521,6 +521,32 @@ def bench_grad(rtt: float, chain: int = 8) -> dict:
     )
     grad_parity_ok = bool(rel_err <= 2.0 * max(noise_floor, 1e-6))
 
+    # GATED 40-iteration parity (VERDICT r4 item 7): the bar is the
+    # 40-iteration jnp-vs-jnp noise floor (same split-reduction probe as
+    # the 8-iter floor, at full march depth, so the chaotic silhouette
+    # compounding is IN the bar, not an excuse) — the fused backward must
+    # land within 2.5x of what two correct XLA programs already differ by.
+    def loss_jnp_split(s, v):
+        ro, rd = camera_rays(
+            cfg.width, cfg.height, v, cfg.vfov_degrees, cfg.near, cfg.far
+        )
+        h = cfg.height // 2
+        sl = lambda t, a, b: jax.tree_util.tree_map(lambda x: x[a:b], t)
+        return jnp.sum(
+            render_rays(s, sl(ro, 0, h), sl(rd, 0, h), cfg)
+        ) + jnp.sum(
+            render_rays(s, sl(ro, h, cfg.height), sl(rd, h, cfg.height),
+                        cfg)
+        )
+
+    noise_floor_40 = _max_rel(
+        jax.jit(jax.grad(loss_jnp_split))(scene, view),
+        jax.jit(jax.grad(loss_jnp))(scene, view),
+    )
+    grad_parity_40iter_ok = bool(
+        rel_err_40 <= 2.5 * max(noise_floor_40, 1e-6)
+    )
+
     best = min(per_frame, key=per_frame.get)
     seconds = per_frame[best]
     return {
@@ -529,10 +555,194 @@ def bench_grad(rtt: float, chain: int = 8) -> dict:
         "grad_backend": best,
         "grad_ms_fused": round(per_frame["fused"] * 1e3, 3),
         "grad_ms_jnp": round(per_frame["jnp"] * 1e3, 3),
-        "grad_parity_ok": grad_parity_ok,
+        "grad_parity_ok": grad_parity_ok and grad_parity_40iter_ok,
         "grad_parity_max_rel_err_8iter": float(f"{rel_err:.3g}"),
         "grad_parity_noise_floor_jnp_vs_jnp": float(f"{noise_floor:.3g}"),
-        "grad_parity_max_rel_err_40iter_chaotic": float(f"{rel_err_40:.3g}"),
+        "grad_parity_max_rel_err_40iter": float(f"{rel_err_40:.3g}"),
+        "grad_parity_noise_floor_40iter": float(f"{noise_floor_40:.3g}"),
+        "grad_parity_40iter_ok": grad_parity_40iter_ok,
+    }
+
+
+def bench_occupancy(roofline: dict) -> dict:
+    """OBSERVED kernel occupancy from a hardware profiler trace (VERDICT r4
+    item 5). The lane-op census is analytic — it counts ops the program
+    CONTAINS, and its >100% "censused util" proved XLA elides some of them.
+    This traces the fused forward and backward kernels with jax.profiler,
+    reads the per-invocation DEVICE execution time from the xplane's "XLA
+    Modules" line (jax.profiler.ProfileData — works through the tunnel:
+    device-side spans, no RTT in them), and reports:
+      - kernel_device_ms_*: measured device time per frame (min over traced
+        invocations);
+      - vpu_occupancy_measured_pct_*: arithmetic-flop light speed / device
+        time — the defensible <=100 utilization figure;
+      - census_elided_pct_*: the share of censused lane-ops XLA must have
+        elided for the measured time to be possible at peak throughput
+        (device time / censused light speed, inverted)."""
+    import glob
+    import os
+    import tempfile
+
+    from sdfkit_tpu.render.raymarch import RenderConfig
+    from sdfkit_tpu.render.pallas.raymarch_kernel import render_image_fused
+
+    scene = sphere_repeat_scene()
+    view = sk.look_at((-2.0, 2.0, 4.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT)
+
+    def _fwd_frame(s, v):
+        return jnp.sum(render_image_fused(s, v, cfg))
+
+    def _bwd_frame(s, v):
+        g = jax.grad(
+            lambda s2, v2: jnp.sum(render_image_fused(s2, v2, cfg))
+        )(s, v)
+        return jax.tree_util.tree_reduce(
+            lambda a, l: a + jnp.sum(l), g, jnp.float32(0.0)
+        )
+
+    fwd = jax.jit(_fwd_frame)
+    bwd = jax.jit(_bwd_frame)
+    float(fwd(scene, view))
+    float(bwd(scene, view))
+    tdir = tempfile.mkdtemp(prefix="sdfkit_occupancy_")
+    jax.profiler.start_trace(tdir)
+    for _ in range(4):
+        float(fwd(scene, view))
+    for _ in range(4):
+        float(bwd(scene, view))
+    jax.profiler.stop_trace()
+
+    files = glob.glob(
+        os.path.join(tdir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not files:
+        return {"occupancy_note": "no xplane trace captured"}
+    pd = jax.profiler.ProfileData.from_file(files[0])
+    mins: dict = {}
+    for plane in pd.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Modules":
+                continue
+            for e in line.events:
+                for tag in ("_fwd_frame", "_bwd_frame"):
+                    if tag in e.name:
+                        ms = e.duration_ns / 1e6
+                        mins[tag] = min(mins.get(tag, ms), ms)
+    out = {"occupancy_trace_frames": 4}
+    ls_compute = roofline.get("lightspeed_ms_compute")
+    ls_census = roofline.get("lightspeed_ms_census")
+    ls_census_grad = roofline.get("lightspeed_ms_census_grad")
+    # The backward frame contains forward + backward kernels; its censused
+    # light speed already models both (census_bwd covers the replay).
+    for tag, key, ls_c in (
+        ("_fwd_frame", "fwd", ls_census),
+        ("_bwd_frame", "bwd", ls_census_grad),
+    ):
+        dev = mins.get(tag)
+        if dev is None:
+            continue
+        out[f"kernel_device_ms_{key}"] = round(dev, 3)
+        if key == "fwd" and ls_compute:
+            out["vpu_occupancy_measured_pct"] = round(
+                min(100.0, 100.0 * ls_compute / dev), 1
+            )
+        if ls_c:
+            out[f"census_elided_pct_{key}"] = round(
+                max(0.0, 100.0 * (1.0 - dev / ls_c)), 1
+            )
+            out[f"vpu_util_censused_vs_device_pct_{key}"] = round(
+                100.0 * ls_c / dev, 1
+            )
+    return out
+
+
+def bench_fused_drift() -> dict:
+    """Characterize the fused-vs-jnp whole-image drift (VERDICT r4 item 6):
+    the two backends are different programs (Mosaic kernel vs XLA
+    fori_loop) whose per-step FMA-contraction differences compound over the
+    40-step march on silhouette-grazing rays. The golden tests bound the
+    fused backend 10x looser than jnp; this measures what the data actually
+    supports: per-pixel |diff| histogram at the golden resolution (192x108)
+    and at 1080p — count and share of pixels beyond 1e-3/1e-2/5e-2, max and
+    median error."""
+    import numpy as np
+
+    from sdfkit_tpu.render.raymarch import RayMarcher
+
+    scene = sphere_repeat_scene()
+    out = {}
+    for w, h in ((192, 108), (WIDTH, HEIGHT)):
+        ij = np.asarray(RayMarcher(w, h, scene, backend="jnp").render())
+        iff = np.asarray(RayMarcher(w, h, scene, backend="fused").render())
+        d = np.abs(ij - iff)
+        npx = d.shape[0] * d.shape[1]
+        per_px = d.max(axis=-1)  # worst channel per pixel
+        out[f"fused_drift_{w}x{h}"] = {
+            "max": float(f"{d.max():.3g}"),
+            "median": float(f"{np.median(d):.3g}"),
+            "px_gt_1e-3": int((per_px > 1e-3).sum()),
+            "px_gt_1e-2": int((per_px > 1e-2).sum()),
+            "px_gt_5e-2": int((per_px > 5e-2).sum()),
+            "px_total": npx,
+        }
+    return {"fused_drift": out}
+
+
+def bench_4k(rtt: float) -> dict:
+    """BASELINE config-5 single-chip scale (VERDICT r4 item 2): forward and
+    forward+backward at 3840x2160 through the fused Pallas kernels — 4x the
+    1080p pixel count exercises the kernel grid and the backward's VMEM
+    tiling beyond anything the 1080p numbers cover. Shorter chains than the
+    1080p bench (the frames are 4x the work; RTT amortization still holds
+    the per-frame jitter under ~1%)."""
+    from sdfkit_tpu.render.raymarch import RenderConfig
+    from sdfkit_tpu.render.pallas.raymarch_kernel import render_image_fused
+
+    w4, h4 = 3840, 2160
+    scene = sphere_repeat_scene()
+    view = sk.look_at((-2.0, 2.0, 4.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+    cfg = RenderConfig(width=w4, height=h4)
+    chain_r, chain_g = 8, 4
+
+    @jax.jit
+    def chained_render(scene, view):
+        acc = jnp.float32(0.0)
+        for _ in range(chain_r):
+            v = view + acc * 1e-30
+            img = jax.lax.optimization_barrier(
+                render_image_fused(scene, v, cfg)
+            )
+            acc = acc + jnp.sum(img)
+        return acc
+
+    @jax.jit
+    def chained_grad(scene, view):
+        def loss(s, v):
+            return jnp.sum(render_image_fused(s, v, cfg))
+
+        acc = jnp.float32(0.0)
+        for _ in range(chain_g):
+            v = view + acc * 1e-30
+            g = jax.grad(loss)(scene, v)
+            acc = acc + jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(l), g, jnp.float32(0.0)
+            )
+        return acc
+
+    t_render = max(
+        (_timed_chain(chained_render, scene, view) - rtt) / chain_r, 1e-9
+    )
+    t_grad = max(
+        (_timed_chain(chained_grad, scene, view) - rtt) / chain_g, 1e-9
+    )
+    return {
+        "render_3840x2160_Mrays_per_s": round(w4 * h4 / t_render / 1e6, 3),
+        "render_3840x2160_ms": round(t_render * 1e3, 3),
+        "grad_3840x2160_Mrays_per_s": round(w4 * h4 / t_grad / 1e6, 3),
+        "grad_3840x2160_ms": round(t_grad * 1e3, 3),
     }
 
 
@@ -692,7 +902,8 @@ def bench_scaling(rtt: float, out_path: str = "SCALING.json") -> dict:
     return eff
 
 
-def bench_mesh(n: int = 256) -> dict:
+def bench_mesh(n: int = 256, seq_baseline: bool = True,
+               loops: int = LOOPS) -> dict:
     """End-to-end to_mesh wall-clock at n^3: device voxelize + on-device
     classify/compact/corner-gather (O(surface) transfer, async-overlapped
     with the host work) + host sparse phase (dispatch, welding, normals) +
@@ -707,7 +918,7 @@ def bench_mesh(n: int = 256) -> dict:
     float(jnp.sum(v.values))  # sync: grid resident on device before timing
     v.to_mesh()  # warmup: compiles the classify/gather/color kernels
     best, best_split, m = None, None, None
-    for _ in range(LOOPS):
+    for _ in range(loops):
         t0 = time.perf_counter()
         m = v.to_mesh()
         dt = time.perf_counter() - t0
@@ -719,8 +930,33 @@ def bench_mesh(n: int = 256) -> dict:
         f"mesh_{n}^3_vertices": len(m.vertices),
         f"mesh_{n}^3_phase_ms": best_split,
     }
-    out.update(_bench_mesh_seq_baseline(v, n, len(m.vertices)))
+    if seq_baseline:
+        out.update(_bench_mesh_seq_baseline(v, n, len(m.vertices)))
+    del v, m
     return _mesh_speedup(out, n)
+
+
+def bench_mesh_512(mesh256: dict) -> dict:
+    """BASELINE config-5 mesh scale (VERDICT r4 item 2): 512^3 = 134M cells
+    — 8x the cells and ~4x the surface of the 256^3 bench, exercising the
+    O(surface) transfer claim and the full two-level-bitmap/f16 pipeline at
+    scale (the reference's largest covered volume is 128^3,
+    /root/reference/Tests/VolumeTests.cs:126-135). The sequential baseline
+    is NOT re-run at this size: it would first fetch the 2.1 GB value+color
+    grids over the ~10-30 MB/s tunneled link (minutes of untimed transfer);
+    instead the 256^3 run's measured cells/s rate is extrapolated — the
+    per-cell loop's cost structure is size-independent, so the rate
+    transfers, and the number is labeled as extrapolated."""
+    out = bench_mesh(512, seq_baseline=False, loops=2)
+    rate = mesh256.get("mesh_256^3_seq_baseline_Mcells_per_s")
+    ours = out.get("mesh_512^3_ms")
+    if rate and ours:
+        seq_ms = (511 ** 3) / (rate * 1e6) * 1e3
+        out["mesh_512^3_seq_baseline_extrapolated_ms"] = round(seq_ms, 1)
+        out["mesh_512^3_vs_seq_baseline_extrapolated_x"] = round(
+            seq_ms / ours, 2
+        )
+    return out
 
 
 def _bench_mesh_seq_baseline(v, n: int, our_verts: int) -> dict:
@@ -808,12 +1044,15 @@ def bench_icp(rtt: float, n: int = 10000) -> dict:
 
 
 def _bench_icp_large(n: int = 100_000) -> dict:
-    """Large-cloud registration (VERDICT r3 item 7): at 100k points the
-    product path (IterativeClosestPoint.register_points, auto) routes
-    through the exact grid-bucket NN index — sub-quadratic per iteration
-    where the one-dispatch brute-force scan is O(N*M) (measured 4.7 s vs
-    39 s for the scan at 100k x 100k on v5e; the reference's kd-tree is the
-    asymptotic counterpart, KdTree.cs:56-197)."""
+    """Large-cloud registration (VERDICT r3 item 7; r4 item 3): at 100k
+    points the product path (IterativeClosestPoint.register_points, auto)
+    is ONE lax.scan dispatch with the exact DENSE grid NN inside the step —
+    the 27 neighbor buckets are static shifts of a padded (G+2)^3 x K
+    array, queries are cell-sorted per iteration, unguaranteed answers are
+    brute-repaired, and converged iterations skip via lax.cond. Measured
+    ~0.7 s at 100k x 100k on v5e (r4's host loop with per-iteration
+    round trips: 7.7 s; the naive brute scan: ~39 s; the reference's
+    kd-tree is the asymptotic counterpart, KdTree.cs:56-197)."""
     import numpy as np
 
     from sdfkit_tpu.registration.icp import IterativeClosestPoint
@@ -829,16 +1068,18 @@ def _bench_icp_large(n: int = 100_000) -> dict:
     moved = static @ rot + np.float32([0.03, -0.02, 0.01])
 
     icp = IterativeClosestPoint(static)
-    icp.register_points(moved)  # warmup: pays the grid-query jit compile
-    t0 = time.perf_counter()
-    aligned, _ = icp.register_points(moved)
-    secs = time.perf_counter() - t0
+    icp.register_points(moved)  # warmup: pays the grid-scan jit compile
+    times = []
+    for _ in range(LOOPS):
+        t0 = time.perf_counter()
+        aligned, _ = icp.register_points(moved)
+        times.append(time.perf_counter() - t0)
     err = float(np.abs(aligned - static).max())
     return {
-        f"icp_{n}_ms": round(secs * 1e3, 1),
+        f"icp_{n}_ms": round(min(times) * 1e3, 1),
         f"icp_{n}_max_err": round(err, 6),
-        f"icp_{n}_nn": "grid-bucket (exact; brute-force scan at this size: "
-                       "~39 s)",
+        f"icp_{n}_nn": "dense grid-bucket inside the one-dispatch scan "
+                       "(exact; r4 host loop: 7.7 s; brute scan: ~39 s)",
     }
 
 
@@ -871,8 +1112,15 @@ def main():
     with trace:
         result = bench_render(rtt)
         result["extra"]["roofline"] = bench_roofline(result["extra"])
+        occupancy = (
+            {} if opts.profile  # no nested profiler sessions
+            else bench_occupancy(result["extra"]["roofline"])
+        )
+        drift = bench_fused_drift()
+        four_k = bench_4k(rtt)
         vox = bench_voxels(rtt)
         mesh = bench_mesh()
+        mesh512 = bench_mesh_512(mesh)
         grad = bench_grad(rtt)
         icp = bench_icp(rtt)
         scaling = bench_scaling(rtt)
@@ -880,7 +1128,11 @@ def main():
     result["extra"]["voxel_fused_reduce_Msamples_per_s"] = vox[
         "fused_reduce_Msamples_per_s"
     ]
+    result["extra"].update(occupancy)
+    result["extra"].update(drift)
+    result["extra"].update(four_k)
     result["extra"].update(mesh)
+    result["extra"].update(mesh512)
     result["extra"].update(grad)
     result["extra"].update(icp)
     result["extra"].update(scaling)

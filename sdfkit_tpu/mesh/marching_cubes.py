@@ -115,16 +115,19 @@ def _point_mask(mask, lx: int, ly: int, lz: int):
     return pm.reshape(-1)
 
 
-@jax.jit
-def _counts3(mask, pmask, words):
-    """The ONE dense-phase sync: active-cell count, unique-point count, and
-    the nonzero-word count of the packed cell bitmap (sizes the two-level
-    bitmap transfer below)."""
+@partial(jax.jit, static_argnums=(3,))
+def _counts4(mask, pmask, words, p_split: int):
+    """The ONE dense-phase sync: active-cell count, unique-point count, the
+    nonzero-word count of the packed cell bitmap (sizes the two-level
+    bitmap transfer), and the unique-point count BELOW the z-split (sizes
+    the first half of the split point-value transfer — see
+    _sparse_phase_native's pipelined pvals)."""
     return jnp.stack(
         [
             jnp.sum(mask.astype(jnp.int32)),
             jnp.sum(pmask.astype(jnp.int32)),
             jnp.sum((words != 0).astype(jnp.int32)),
+            jnp.sum(pmask[:p_split].astype(jnp.int32)),
         ]
     )
 
@@ -162,15 +165,19 @@ def _compact_nonzero_words(words, bucket: int):
     return l1, out.at[pos].set(words, mode="drop")[:bucket]
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _scatter_point_values(values, pmask, step: int, lx: int, ly: int,
-                          lz: int, psize: int):
-    """Values of the unique corner points, compacted in ascending
-    point-flat-id order, via cumsum + scatter (measured faster than
-    searchsorted for the point phase: 105 vs 143 ms). The dense per-point
-    value array is a strided slice + transpose of the value grid — no
-    index gathers at all. ``psize`` is a static bucket >= the true count
-    (multiple of 32768; callers trim on host).
+                          lz: int, psize: int, pz0: int = 0,
+                          pz1: int | None = None):
+    """Values of the unique corner points with point-z in [pz0, pz1),
+    compacted in ascending point-flat-id order, via cumsum + scatter
+    (measured faster than searchsorted for the point phase: 105 vs 143 ms).
+    The dense per-point value array is a strided slice + transpose of the
+    value grid — no index gathers at all. ``psize`` is a static bucket >=
+    the true count (multiple of 32768; callers trim on host). Point ids
+    are z-major, so a z-range's values are a CONTIGUOUS run of global
+    ranks — _sparse_phase_native ships the low-z half first and overlaps
+    the host geometry over low-z cells with the high-z transfer.
 
     Per-cell corner values and case bytes are NOT shipped: the host
     rebuilds both from these point values (bitmap+rank in mc_host.cc;
@@ -178,15 +185,19 @@ def _scatter_point_values(values, pmask, step: int, lx: int, ly: int,
     transfer ~4x vs an 8-corner-per-cell stream. Corner colors are not
     gathered either — vertex colors are interpolated on device from the
     resident color grid after welding (see _sparse_phase)."""
+    if pz1 is None:
+        pz1 = lz + 1
+    plane = (ly + 1) * (lx + 1)
     pv_dense = jax.lax.slice(
         values,
-        (0, 0, 0),
-        (lx * step + 1, ly * step + 1, lz * step + 1),
+        (0, 0, pz0 * step),
+        (lx * step + 1, ly * step + 1, (pz1 - 1) * step + 1),
         (step, step, step),
-    )  # (lx+1, ly+1, lz+1) value at every point
+    )  # (lx+1, ly+1, pz1-pz0) value at every point in the z-range
     pv_dense = pv_dense.transpose(2, 1, 0).reshape(-1)  # point-id order
-    psum = jnp.cumsum(pmask.astype(jnp.int32))
-    pos = jnp.where(pmask, psum - 1, psize)
+    pm = jax.lax.slice(pmask, (pz0 * plane,), (pz1 * plane,))
+    psum = jnp.cumsum(pm.astype(jnp.int32))
+    pos = jnp.where(pm, psum - 1, psize)
     out = jnp.zeros((psize + 1,), values.dtype)
     return out.at[pos].set(pv_dense, mode="drop")[:psize]
 
@@ -557,8 +568,15 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     mask_all = jnp.concatenate(mask_parts) if len(mask_parts) > 1 else mask_parts[0]
     pmask = _point_mask(mask_all, lx, ly, lz)
     cellbits = _pack_bits(mask_all)
-    counts = np.asarray(_counts3(mask_all, pmask, cellbits))  # the ONE sync
-    count, pcount, nzw = int(counts[0]), int(counts[1]), int(counts[2])
+    # Point-grid z-split for the pipelined point-value transfer: the low-z
+    # half ships first and the host geometry over low-z cells overlaps the
+    # high-z half's time on the link.
+    zsplit = max(1, (lz + 1) // 2)
+    plane = (ly + 1) * (lx + 1)
+    counts = np.asarray(
+        _counts4(mask_all, pmask, cellbits, zsplit * plane)
+    )  # the ONE sync
+    count, pcount, nzw, pcount_a = (int(c) for c in counts)
     LAST_TIMINGS.clear()
     LAST_TIMINGS["dense_classify_ms"] = (_time.perf_counter() - t0) * 1e3
 
@@ -568,18 +586,27 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         )
 
     t0 = _time.perf_counter()
-    psize = _fetch_bucket(pcount)
-    # Three dispatches, transfers started async in increasing size order so
+    # Four dispatches, transfers started async in increasing size order so
     # the point values stream over the link WHILE the host decodes the
-    # two-level bitmap and builds its corner index (mc_host.cc). The dense
-    # word stream never crosses the link — only the level-1 bitmap and the
-    # compacted nonzero words do (_compact_nonzero_words).
+    # two-level bitmap, builds its corner index, and (for the high-z half)
+    # runs the low-z geometry (mc_host.cc). The dense word stream never
+    # crosses the link — only the level-1 bitmap and the compacted nonzero
+    # words do (_compact_nonzero_words).
     wbucket = -(-nzw // 8192) * 8192
     l1bits, nzwords = _compact_nonzero_words(cellbits, wbucket)
     l1bits.copy_to_host_async()
     nzwords.copy_to_host_async()
-    pvals = _scatter_point_values(values_dev, pmask, step, lx, ly, lz, psize)
-    pvals.copy_to_host_async()
+    pcount_b = pcount - pcount_a
+    pvals_a = _scatter_point_values(
+        values_dev, pmask, step, lx, ly, lz, _fetch_bucket(pcount_a),
+        0, zsplit,
+    )
+    pvals_a.copy_to_host_async()
+    pvals_b = _scatter_point_values(
+        values_dev, pmask, step, lx, ly, lz, _fetch_bucket(pcount_b),
+        zsplit, lz + 1,
+    )
+    pvals_b.copy_to_host_async()
     l1_host = np.asarray(l1bits)
     nzwords_host = np.asarray(nzwords)[:nzw]
     nat = _native()
@@ -597,13 +624,14 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         assert active.size == count
     LAST_TIMINGS["gather_fetch_ms"] = (_time.perf_counter() - t0) * 1e3
 
+    pvals_split = (pvals_a, pcount_a, pvals_b, pcount_b, zsplit)
     if nat is not None and nx * ny * nz < 2**31:
         # Bounds now, while the device queue is short: a tiny fetch issued
         # after the color dispatches would serialize behind them on the
         # tunneled link (~0.4 s stall observed). Cached on the Voxels.
         size_center = voxels.host_bounds()
         mesh = _sparse_phase_native(
-            voxels, active, (pvals, pcount), values_dev, colors_dev, step,
+            voxels, active, pvals_split, values_dev, colors_dev, step,
             lx, ly, lz, iso, nat, size_center,
         )
         if mesh is not None:
@@ -612,7 +640,9 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     # Numpy fallback: rebuild the per-cell corner values and case bytes from
     # the point values, then run the vectorized sparse phase.
     t0 = _time.perf_counter()
-    pv = np.asarray(pvals)[:pcount]
+    pv = np.concatenate(
+        [np.asarray(pvals_a)[:pcount_a], np.asarray(pvals_b)[:pcount_b]]
+    )
     acx = active % lx
     acy = (active // lx) % ly
     acz = active // (lx * ly)
@@ -644,13 +674,11 @@ def _sparse_phase(voxels, active, case_index, v8, colors, step: int, lx: int,
                   ly: int, iso: float = 0.0) -> Mesh:
     """Host sparse phase: case dispatch, vertex welding, interpolation,
     gradient normals, world transform. ``active`` are flat (z, y, x)-ordered
-    visited-cell indices; ``v8`` are f32 corner values in MC corner numbering
-    (8, m) — either a host array, or a ``(device_array, count)`` pair whose
-    host copy is already streaming (create_mesh starts it async so the prep
-    below overlaps the transfer). Vertex COLORS are interpolated on device
-    straight from ``colors``, the resident (nx, ny, nz, 3) grid — only the
-    final (n_verts, 3) result crosses the link, and its fetch overlaps the
-    host gradient pass."""
+    visited-cell indices; ``v8`` are f32 corner values in MC corner
+    numbering (8, m). Vertex COLORS are interpolated on device straight
+    from ``colors``, the resident (nx, ny, nz, 3) grid — only the final
+    (n_verts, 3) result crosses the link (as f16), and its fetch overlaps
+    the host gradient pass."""
     import time as _time
 
     nx, ny, nz = np.shape(voxels.values)
@@ -664,14 +692,10 @@ def _sparse_phase(voxels, active, case_index, v8, colors, step: int, lx: int,
     acy = ((active // lx) % ly) * step
     acz = (active // (lx * ly)) * step
 
-    # Materialize the corner values, blocking on the async device copy if it
-    # is still streaming. Iso-subtracted in float64 — the only precision the
-    # ambiguity tests and interpolation ever see, as in the reference's
-    # double-typed Cell (Cell.cs:191-233): f32→f64 is lossless and the f64
-    # subtraction of two f32 values is exact.
-    if isinstance(v8, tuple):
-        arr, cnt = v8
-        v8 = np.asarray(arr)[:, :cnt]
+    # Iso-subtracted in float64 — the only precision the ambiguity tests
+    # and interpolation ever see, as in the reference's double-typed Cell
+    # (Cell.cs:191-233): f32→f64 is lossless and the f64 subtraction of two
+    # f32 values is exact.
     v8 = np.asarray(v8, np.float64) - iso
     LAST_TIMINGS["v8_wait_ms"] = (_time.perf_counter() - t0) * 1e3
 
@@ -929,18 +953,19 @@ def _finalize_geometry(verts, normals, voxels, dims, size_center=None):
     return verts.astype(np.float32), normals.astype(np.float32)
 
 
-def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
-                         lx: int, ly: int, lz: int, iso: float, nat,
-                         size_center) -> Mesh | None:
+def _sparse_phase_native(voxels, active, pvals_split, values, colors,
+                         step: int, lx: int, ly: int, lz: int, iso: float,
+                         nat, size_center) -> Mesh | None:
     """Sparse phase via the phased C++ geometry kernels (mc_host.cc):
     the corner bitmap/rank index builds WHILE the point values stream; the
-    dispatch/weld/interp pass then runs in TWO cell chunks, launching the
-    on-device color blend of each chunk's new vertices as soon as it
-    exists — so the first blend's transfer overlaps the second chunk's
-    host work, and the second blend overlaps the C++ gradient/finalize
-    pass. Chunking is bit-identical to one pass (welding state persists in
-    the handle). Returns None if the C++ side detects a host/device
-    inconsistency (caller falls back to the numpy path)."""
+    point values themselves arrive in TWO z-halves, and the dispatch/
+    weld/interp pass over the LOW-z cells runs while the high-z half is
+    still on the link; each chunk's on-device color blend launches as soon
+    as its vertices exist — so the first blend's transfer overlaps the
+    second chunk's host work, and the second blend overlaps the C++
+    gradient/finalize pass. Chunking is bit-identical to one pass (welding
+    state persists in the handle). Returns None if the C++ side detects a
+    host/device inconsistency (caller falls back to the numpy path)."""
     import time as _time
 
     nx, ny, nz = np.shape(voxels.values)
@@ -951,8 +976,8 @@ def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
     mc = nat.McSparse(active, lx, ly, lz, nx, ny, nz, step, iso)
     try:
         return _sparse_phase_native_inner(
-            mc, voxels, pvals, values, colors, step, iso, nx, ny, nz, t0,
-            size_center,
+            mc, voxels, pvals_split, values, colors, step, iso,
+            lx, ly, nx, ny, nz, t0, size_center,
         )
     finally:
         # The handle owns copies of the active ids, bitmap, rank and vertex
@@ -961,9 +986,9 @@ def _sparse_phase_native(voxels, active, pvals, values, colors, step: int,
         mc.close()
 
 
-def _sparse_phase_native_inner(mc, voxels, pvals, values, colors, step: int,
-                               iso: float, nx, ny, nz, t0,
-                               size_center) -> Mesh | None:
+def _sparse_phase_native_inner(mc, voxels, pvals_split, values, colors,
+                               step: int, iso: float, lx, ly, nx, ny, nz,
+                               t0, size_center) -> Mesh | None:
     import time as _time
 
     active = mc._active
@@ -971,9 +996,19 @@ def _sparse_phase_native_inner(mc, voxels, pvals, values, colors, step: int,
         return None
     LAST_TIMINGS["native_index_ms"] = (_time.perf_counter() - t0) * 1e3
 
+    pvals_a, pcount_a, pvals_b, pcount_b, zsplit = pvals_split
+    plane = (ly + 1) * (lx + 1)
+    # A low-z cell (cz <= zsplit-2) touches only corner points with
+    # pz <= zsplit-1, i.e. global point ranks below pcount_a — verify the
+    # index agrees BEFORE running geometry on the partial buffer (a
+    # host/device disagreement must fail cleanly to the numpy path, never
+    # read past it).
+    if mc.expected_points_below(zsplit * plane) != pcount_a:
+        return None
+    n_a = int(np.searchsorted(active, (zsplit - 1) * lx * ly))
+
     t0 = _time.perf_counter()
-    arr, pcount = pvals
-    pv = np.asarray(arr)[:pcount]  # blocks until the async copy lands
+    mc.pvals_chunk(np.asarray(pvals_a)[:pcount_a])  # blocks on the copy
     LAST_TIMINGS["pvals_wait_ms"] = (_time.perf_counter() - t0) * 1e3
 
     values_flat = jnp.asarray(values, jnp.float32).reshape(-1)
@@ -1023,11 +1058,13 @@ def _sparse_phase_native_inner(mc, voxels, pvals, values, colors, step: int,
         return edge_dev, center_dev
 
     n_active = active.shape[0]
-    half = n_active // 2
     chunks = []  # (color_inputs, edge_dev, center_dev)
 
+    # Geometry over the LOW-z cells — only part-A point values needed, so
+    # this (plus its color-blend dispatch) runs WHILE the high-z values are
+    # still streaming over the link.
     t0 = _time.perf_counter()
-    if not mc.geometry(pv, 0, half):
+    if not mc.geometry(None, 0, n_a):
         return None
     LAST_TIMINGS["native_geometry_ms"] = (_time.perf_counter() - t0) * 1e3
 
@@ -1038,7 +1075,13 @@ def _sparse_phase_native_inner(mc, voxels, pvals, values, colors, step: int,
     LAST_TIMINGS["color_dispatch_ms"] = (_time.perf_counter() - t0) * 1e3
 
     t0 = _time.perf_counter()
-    if not mc.geometry(None, half, n_active):
+    total = mc.pvals_chunk(np.asarray(pvals_b)[:pcount_b])  # blocks
+    if total != mc.expected_points():  # device/host disagree
+        return None
+    LAST_TIMINGS["pvals_wait_ms"] += (_time.perf_counter() - t0) * 1e3
+
+    t0 = _time.perf_counter()
+    if not mc.geometry(None, n_a, n_active):
         return None
     LAST_TIMINGS["native_geometry_ms"] += (_time.perf_counter() - t0) * 1e3
 

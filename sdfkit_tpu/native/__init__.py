@@ -91,6 +91,16 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # nx, ny, nz
             ctypes.c_int64, ctypes.c_double,          # step, iso
         ]
+        lib.mc_sparse_pvals_chunk.restype = ctypes.c_int64
+        lib.mc_sparse_pvals_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.mc_sparse_expected_points.restype = ctypes.c_int64
+        lib.mc_sparse_expected_points.argtypes = [ctypes.c_void_p]
+        lib.mc_sparse_expected_points_below.restype = ctypes.c_int64
+        lib.mc_sparse_expected_points_below.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.mc_sparse_geometry.restype = ctypes.c_int32
         lib.mc_sparse_geometry.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -231,6 +241,26 @@ class McSparse:
             lx, ly, lz, nx, ny, nz, step, ctypes.c_double(iso),
         )
         self.ok = bool(self._handle)
+
+    def pvals_chunk(self, pvals: np.ndarray) -> int:
+        """Append a chunk of the compacted point-value stream (z-major, so
+        chunks are contiguous global ranks); returns the stored total. Use
+        with geometry(None, start, end) over the cell range whose corner
+        points the stored chunks cover, and check expected_points() before
+        the final chunk (see _sparse_phase_native)."""
+        pv = np.ascontiguousarray(pvals, np.float32)
+        # (The C side copies into its own vector before returning.)
+        return int(_lib.mc_sparse_pvals_chunk(
+            self._handle, _ptr(pv), pv.shape[0]
+        ))
+
+    def expected_points(self) -> int:
+        """The point count the corner index expects (bitmap rank total)."""
+        return int(_lib.mc_sparse_expected_points(self._handle))
+
+    def expected_points_below(self, pid: int) -> int:
+        """Corner points the index expects below point id ``pid``."""
+        return int(_lib.mc_sparse_expected_points_below(self._handle, pid))
 
     def geometry(self, pvals, start: int = 0, end: int | None = None) -> bool:
         """Phase B: dispatch + weld + interpolation over cells

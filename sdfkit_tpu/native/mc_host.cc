@@ -337,6 +337,7 @@ struct McResult {
     int geo_mode = 0;   // 0 = undecided, 1 = direct, 2 = threaded (pinned
                         // on the first geometry call: the two paths keep
                         // different dedup state, so chunks must not mix)
+    bool grad_inlined = false;  // direct path accumulates normals inline
     int32_t next_rank = 0;
     // State for the deferred gradient pass (mc_sparse_grad_finalize):
     std::vector<int64_t> active;
@@ -571,6 +572,38 @@ static void geo_worker(const McResult* r, int64_t start, int64_t end,
     }
 }
 
+// Append a chunk of point values (for split transfers: the caller ships the
+// low-z half of the compacted point stream first and runs the geometry over
+// the low-z cells WHILE the high-z half still streams over the link).
+// Returns the total point count stored so far. Point ids are z-major, so
+// chunk k's values are exactly the global ranks [total_before, total_after).
+int64_t mc_sparse_pvals_chunk(void* handle, const float* pvals, int64_t n) {
+    McResult* r = static_cast<McResult*>(handle);
+    r->pvals.insert(r->pvals.end(), pvals, pvals + n);
+    return static_cast<int64_t>(r->pvals.size());
+}
+
+// The point count the corner index expects (rank over the full bitmap) —
+// callers using chunked pvals verify their totals against this before the
+// final geometry chunk (mismatch -> numpy fallback).
+int64_t mc_sparse_expected_points(void* handle) {
+    McResult* r = static_cast<McResult*>(handle);
+    return r->rank[r->bm.size()];
+}
+
+// Rank of point id ``pid`` (= how many corner points the index expects
+// BELOW it). Callers verify a partial pvals chunk covers everything a
+// low-z geometry range can touch BEFORE running it — a host/device
+// disagreement must fail cleanly, never read past the partial buffer.
+int64_t mc_sparse_expected_points_below(void* handle, int64_t pid) {
+    McResult* r = static_cast<McResult*>(handle);
+    const int64_t words = static_cast<int64_t>(r->bm.size());
+    if ((pid >> 6) >= words) return r->rank[words];
+    const uint64_t word = r->bm[pid >> 6];
+    const uint64_t below = word & ((1ull << (pid & 63)) - 1);
+    return r->rank[pid >> 6] + __builtin_popcountll(below);
+}
+
 // Direct sequential pass over [start, end): welds straight into the global
 // structures via EPOCH-STAMPED ROLLING FACE LAYERS — the reference's
 // face-layer dedup (Cell.cs:123-143) turned O(1): a vertex's owner slot is
@@ -626,6 +659,12 @@ static void geo_direct(McResult* r, int64_t start, int64_t end) {
         int nt = 0;
         const int8_t* rows = dispatch_cell(casenum, config, v8, &nt);
         if (rows == nullptr || nt == 0) continue;
+        // Gradient normals accumulate INLINE (v8/vg are in registers here;
+        // the deferred pass re-fetched corner values per cell with cold
+        // caches — 635 ms of the 512^3 budget). Same stream order as the
+        // deferred pass, so the accumulation is bit-identical to it.
+        float vg[8][3];
+        corner_gradients(v8, vg);
 
         const int32_t base32 =
             static_cast<int32_t>((gx * ny + gy) * nz + gz);
@@ -690,9 +729,33 @@ static void geo_direct(McResult* r, int64_t start, int64_t end) {
                     r->center_base.push_back(base32);
                 }
             }
+            float* out = r->normals.data()
+                       + static_cast<int64_t>(vid) * 3;
+            if (vi < 12) {
+                const double va = v8[EDGE_MC1[vi]];
+                const double vb = v8[EDGE_MC2[vi]];
+                const float t1 =
+                    static_cast<float>(1.0 / (FLT_EPS + std::fabs(va)));
+                const float t2 =
+                    static_cast<float>(1.0 / (FLT_EPS + std::fabs(vb)));
+                const float* g1 = vg[EDGE_P1[vi]];
+                const float* g2 = vg[EDGE_P2[vi]];
+                out[0] += g1[0] * t1 + g2[0] * t2;
+                out[1] += g1[1] * t1 + g2[1] * t2;
+                out[2] += g1[2] * t1 + g2[2] * t2;
+            } else {
+                for (int k = 0; k < 8; ++k) {
+                    const float sk = static_cast<float>(
+                        1.0 / (FLT_EPS + std::fabs(v8[k])));
+                    out[0] += sk * vg[k][0];
+                    out[1] += sk * vg[k][1];
+                    out[2] += sk * vg[k][2];
+                }
+            }
         }
     }
     r->next_rank = next_rank;
+    r->grad_inlined = true;
 }
 
 // Phase B: dispatch + weld + interpolation, once the point values are in.
@@ -725,11 +788,17 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
     const int64_t words = static_cast<int64_t>(r->bm.size());
     const int32_t* rank = r->rank.data();
 
+    if (end > n_active) end = n_active;
+    if (end < start) end = start;
     if (pvals != nullptr) {
         if (rank[words] != n_points) return 0;  // device/host disagree
         r->pvals.assign(pvals, pvals + n_points);
-    } else if (r->pvals.empty() && rank[words] != 0) {
-        return 0;  // later chunk without values
+    } else if (r->pvals.empty() && end > start && rank[words] != 0) {
+        // A non-empty range with no stored values: either a later chunk
+        // was called before any pvals, or a chunked-pvals caller skipped
+        // mc_sparse_pvals_chunk (an EMPTY range is fine — the low-z split
+        // can legitimately cover zero cells).
+        return 0;
     }
 
     if (start == 0) {
@@ -742,8 +811,6 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
         r->weld.init(n_active + 16);
         r->next_rank = 0;
     }
-    if (end > n_active) end = n_active;
-    if (end < start) end = start;
 
     // Partition the range across workers (each sub-range must be big enough
     // to amortize its local weld map; small ranges run single-threaded).
@@ -754,11 +821,13 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
     // the hash weld with O(1) layer slots).
     unsigned hw = std::thread::hardware_concurrency();
     if (hw == 0) hw = 1;
-    int64_t n_workers = static_cast<int64_t>(hw);
+    if (r->geo_mode == 0) r->geo_mode = hw < 4 ? 1 : 2;
     const int64_t span = end - start;
-    if (hw < 4 || span < 16384) n_workers = 1;
-    if (n_workers > span) n_workers = span > 0 ? span : 1;
-    if (r->geo_mode == 0) r->geo_mode = n_workers <= 1 ? 1 : 2;
+    // Inside threaded mode a small chunk still runs the worker+merge path
+    // (one worker) — the two modes keep different dedup state, so chunks
+    // of one handle must never mix them.
+    int64_t n_workers = std::min<int64_t>(
+        static_cast<int64_t>(hw), std::max<int64_t>(1, span / 16384));
 
     if (r->geo_mode == 1) {
         geo_direct(r, start, end);
@@ -890,12 +959,13 @@ void mc_sparse_grad_finalize(void* handle, const double* size3,
     };
 
     // --- gradient accumulation (stream is cell-major: recompute v8/vg once
-    //     per cell run) ---
+    //     per cell run). Skipped when the direct geometry path already
+    //     accumulated inline (bit-identical order; see geo_direct). ---
     const int64_t S = static_cast<int64_t>(r->stream.size());
     double v8[8];
     float vg[8][3];
     int32_t cur_cell = -1;
-    for (int64_t e = 0; e < S; ++e) {
+    for (int64_t e = r->grad_inlined ? S : 0; e < S; ++e) {
         const int32_t ci = r->stream_cell[e];
         if (ci != cur_cell) {
             cur_cell = ci;

