@@ -116,19 +116,19 @@ def _point_mask(mask, lx: int, ly: int, lz: int):
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _counts4(mask, pmask, words, p_split: int):
+def _counts_split(mask, pmask, words, p_splits: tuple):
     """The ONE dense-phase sync: active-cell count, unique-point count, the
     nonzero-word count of the packed cell bitmap (sizes the two-level
-    bitmap transfer), and the unique-point count BELOW the z-split (sizes
-    the first half of the split point-value transfer — see
-    _sparse_phase_native's pipelined pvals)."""
+    bitmap transfer), and the unique-point count BELOW each internal
+    z-split boundary (sizes the chunks of the pipelined point-value
+    transfer — see _sparse_phase_native)."""
     return jnp.stack(
         [
             jnp.sum(mask.astype(jnp.int32)),
             jnp.sum(pmask.astype(jnp.int32)),
             jnp.sum((words != 0).astype(jnp.int32)),
-            jnp.sum(pmask[:p_split].astype(jnp.int32)),
         ]
+        + [jnp.sum(pmask[:p].astype(jnp.int32)) for p in p_splits]
     )
 
 
@@ -568,15 +568,25 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     mask_all = jnp.concatenate(mask_parts) if len(mask_parts) > 1 else mask_parts[0]
     pmask = _point_mask(mask_all, lx, ly, lz)
     cellbits = _pack_bits(mask_all)
-    # Point-grid z-split for the pipelined point-value transfer: the low-z
-    # half ships first and the host geometry over low-z cells overlaps the
-    # high-z half's time on the link.
-    zsplit = max(1, (lz + 1) // 2)
+    # Point-grid z-splits for the pipelined point-value transfer: chunks
+    # ship low-z first and the host geometry over already-covered cells
+    # overlaps the remaining chunks' time on the link. More chunks on big
+    # grids (512^3 ships ~10 MB of point values — nearly all the host work
+    # hides under it); small grids keep dispatch overhead low.
+    n_chunks = 4 if lz >= 128 else 2
+    edges = sorted(
+        {max(1, round((k + 1) * (lz + 1) / n_chunks))
+         for k in range(n_chunks - 1)} | {lz + 1}
+    )
     plane = (ly + 1) * (lx + 1)
     counts = np.asarray(
-        _counts4(mask_all, pmask, cellbits, zsplit * plane)
+        _counts_split(
+            mask_all, pmask, cellbits,
+            tuple(e * plane for e in edges[:-1]),
+        )
     )  # the ONE sync
-    count, pcount, nzw, pcount_a = (int(c) for c in counts)
+    count, pcount, nzw = int(counts[0]), int(counts[1]), int(counts[2])
+    prefixes = [int(c) for c in counts[3:]] + [pcount]
     LAST_TIMINGS.clear()
     LAST_TIMINGS["dense_classify_ms"] = (_time.perf_counter() - t0) * 1e3
 
@@ -586,27 +596,27 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         )
 
     t0 = _time.perf_counter()
-    # Four dispatches, transfers started async in increasing size order so
-    # the point values stream over the link WHILE the host decodes the
-    # two-level bitmap, builds its corner index, and (for the high-z half)
-    # runs the low-z geometry (mc_host.cc). The dense word stream never
-    # crosses the link — only the level-1 bitmap and the compacted nonzero
-    # words do (_compact_nonzero_words).
+    # All transfers start async in pipeline order so the point values
+    # stream over the link WHILE the host decodes the two-level bitmap,
+    # builds its corner index, and runs the geometry over already-covered
+    # z-ranges (mc_host.cc). The dense word stream never crosses the
+    # link — only the level-1 bitmap and the compacted nonzero words do
+    # (_compact_nonzero_words).
     wbucket = -(-nzw // 8192) * 8192
     l1bits, nzwords = _compact_nonzero_words(cellbits, wbucket)
     l1bits.copy_to_host_async()
     nzwords.copy_to_host_async()
-    pcount_b = pcount - pcount_a
-    pvals_a = _scatter_point_values(
-        values_dev, pmask, step, lx, ly, lz, _fetch_bucket(pcount_a),
-        0, zsplit,
-    )
-    pvals_a.copy_to_host_async()
-    pvals_b = _scatter_point_values(
-        values_dev, pmask, step, lx, ly, lz, _fetch_bucket(pcount_b),
-        zsplit, lz + 1,
-    )
-    pvals_b.copy_to_host_async()
+    pv_chunks = []  # (device_array, pcount_k, edge_k)
+    prev_edge, prev_prefix = 0, 0
+    for edge, prefix in zip(edges, prefixes):
+        n_k = prefix - prev_prefix
+        arr = _scatter_point_values(
+            values_dev, pmask, step, lx, ly, lz,
+            -(-max(n_k, 1) // 8192) * 8192, prev_edge, edge,
+        )
+        arr.copy_to_host_async()
+        pv_chunks.append((arr, n_k, edge))
+        prev_edge, prev_prefix = edge, prefix
     l1_host = np.asarray(l1bits)
     nzwords_host = np.asarray(nzwords)[:nzw]
     nat = _native()
@@ -624,14 +634,13 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
         assert active.size == count
     LAST_TIMINGS["gather_fetch_ms"] = (_time.perf_counter() - t0) * 1e3
 
-    pvals_split = (pvals_a, pcount_a, pvals_b, pcount_b, zsplit)
     if nat is not None and nx * ny * nz < 2**31:
         # Bounds now, while the device queue is short: a tiny fetch issued
         # after the color dispatches would serialize behind them on the
         # tunneled link (~0.4 s stall observed). Cached on the Voxels.
         size_center = voxels.host_bounds()
         mesh = _sparse_phase_native(
-            voxels, active, pvals_split, values_dev, colors_dev, step,
+            voxels, active, pv_chunks, values_dev, colors_dev, step,
             lx, ly, lz, iso, nat, size_center,
         )
         if mesh is not None:
@@ -641,7 +650,7 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     # the point values, then run the vectorized sparse phase.
     t0 = _time.perf_counter()
     pv = np.concatenate(
-        [np.asarray(pvals_a)[:pcount_a], np.asarray(pvals_b)[:pcount_b]]
+        [np.asarray(arr)[:n_k] for arr, n_k, _ in pv_chunks]
     )
     acx = active % lx
     acy = (active // lx) % ly
@@ -953,19 +962,19 @@ def _finalize_geometry(verts, normals, voxels, dims, size_center=None):
     return verts.astype(np.float32), normals.astype(np.float32)
 
 
-def _sparse_phase_native(voxels, active, pvals_split, values, colors,
+def _sparse_phase_native(voxels, active, pv_chunks, values, colors,
                          step: int, lx: int, ly: int, lz: int, iso: float,
                          nat, size_center) -> Mesh | None:
     """Sparse phase via the phased C++ geometry kernels (mc_host.cc):
     the corner bitmap/rank index builds WHILE the point values stream; the
-    point values themselves arrive in TWO z-halves, and the dispatch/
-    weld/interp pass over the LOW-z cells runs while the high-z half is
-    still on the link; each chunk's on-device color blend launches as soon
-    as its vertices exist — so the first blend's transfer overlaps the
-    second chunk's host work, and the second blend overlaps the C++
-    gradient/finalize pass. Chunking is bit-identical to one pass (welding
-    state persists in the handle). Returns None if the C++ side detects a
-    host/device inconsistency (caller falls back to the numpy path)."""
+    point values themselves arrive in K z-chunks, and the dispatch/weld/
+    interp pass over each already-covered cell range runs while the later
+    chunks are still on the link; each range's on-device color blend
+    launches as soon as its vertices exist — so blend transfers overlap
+    the remaining host work and the last one overlaps the C++ finalize.
+    Chunking is bit-identical to one pass (welding state persists in the
+    handle). Returns None if the C++ side detects a host/device
+    inconsistency (caller falls back to the numpy path)."""
     import time as _time
 
     nx, ny, nz = np.shape(voxels.values)
@@ -976,7 +985,7 @@ def _sparse_phase_native(voxels, active, pvals_split, values, colors,
     mc = nat.McSparse(active, lx, ly, lz, nx, ny, nz, step, iso)
     try:
         return _sparse_phase_native_inner(
-            mc, voxels, pvals_split, values, colors, step, iso,
+            mc, voxels, pv_chunks, values, colors, step, iso,
             lx, ly, nx, ny, nz, t0, size_center,
         )
     finally:
@@ -986,7 +995,7 @@ def _sparse_phase_native(voxels, active, pvals_split, values, colors,
         mc.close()
 
 
-def _sparse_phase_native_inner(mc, voxels, pvals_split, values, colors,
+def _sparse_phase_native_inner(mc, voxels, pv_chunks, values, colors,
                                step: int, iso: float, lx, ly, nx, ny, nz,
                                t0, size_center) -> Mesh | None:
     import time as _time
@@ -996,20 +1005,17 @@ def _sparse_phase_native_inner(mc, voxels, pvals_split, values, colors,
         return None
     LAST_TIMINGS["native_index_ms"] = (_time.perf_counter() - t0) * 1e3
 
-    pvals_a, pcount_a, pvals_b, pcount_b, zsplit = pvals_split
     plane = (ly + 1) * (lx + 1)
-    # A low-z cell (cz <= zsplit-2) touches only corner points with
-    # pz <= zsplit-1, i.e. global point ranks below pcount_a — verify the
-    # index agrees BEFORE running geometry on the partial buffer (a
-    # host/device disagreement must fail cleanly to the numpy path, never
-    # read past it).
-    if mc.expected_points_below(zsplit * plane) != pcount_a:
-        return None
-    n_a = int(np.searchsorted(active, (zsplit - 1) * lx * ly))
-
-    t0 = _time.perf_counter()
-    mc.pvals_chunk(np.asarray(pvals_a)[:pcount_a])  # blocks on the copy
-    LAST_TIMINGS["pvals_wait_ms"] = (_time.perf_counter() - t0) * 1e3
+    # A cell with cz <= edge-2 touches only corner points with
+    # pz <= edge-1, i.e. global point ranks below the chunk-prefix count —
+    # verify the index agrees for EVERY boundary BEFORE running geometry
+    # on partial buffers (a host/device disagreement must fail cleanly to
+    # the numpy path, never read past them).
+    prefix = 0
+    for _, n_k, edge in pv_chunks:
+        prefix += n_k
+        if mc.expected_points_below(edge * plane) != prefix:
+            return None
 
     values_flat = jnp.asarray(values, jnp.float32).reshape(-1)
     colors_flat = jnp.asarray(colors, jnp.float32).reshape(-1, 3)
@@ -1059,36 +1065,44 @@ def _sparse_phase_native_inner(mc, voxels, pvals_split, values, colors,
 
     n_active = active.shape[0]
     chunks = []  # (color_inputs, edge_dev, center_dev)
+    LAST_TIMINGS["pvals_wait_ms"] = 0.0
+    LAST_TIMINGS["native_geometry_ms"] = 0.0
+    LAST_TIMINGS["color_dispatch_ms"] = 0.0
 
-    # Geometry over the LOW-z cells — only part-A point values needed, so
-    # this (plus its color-blend dispatch) runs WHILE the high-z values are
-    # still streaming over the link.
-    t0 = _time.perf_counter()
-    if not mc.geometry(None, 0, n_a):
-        return None
-    LAST_TIMINGS["native_geometry_ms"] = (_time.perf_counter() - t0) * 1e3
+    # Pipeline: wait for each point-value chunk, then run geometry over the
+    # cell range it completes (plus its color-blend dispatch) WHILE the
+    # later chunks are still streaming over the link.
+    done_cells = 0
+    e_prev = c_prev = 0
+    total = 0
+    for k, (arr, n_k, edge) in enumerate(pv_chunks):
+        t0 = _time.perf_counter()
+        total = mc.pvals_chunk(np.asarray(arr)[:n_k])  # blocks on the copy
+        LAST_TIMINGS["pvals_wait_ms"] += (_time.perf_counter() - t0) * 1e3
 
-    t0 = _time.perf_counter()
-    ci1 = mc.color_inputs_since(0, 0)
-    e1, c1 = mc.n_edge, mc.n_center
-    chunks.append((ci1, *launch_blends(ci1)))
-    LAST_TIMINGS["color_dispatch_ms"] = (_time.perf_counter() - t0) * 1e3
+        last = k + 1 == len(pv_chunks)
+        if last:
+            if total != mc.expected_points():  # device/host disagree
+                return None
+            n_to = n_active
+        else:
+            # Cells fully covered by points below this chunk's edge.
+            n_to = int(np.searchsorted(active, (edge - 1) * lx * ly))
+        t0 = _time.perf_counter()
+        if not mc.geometry(None, done_cells, n_to):
+            return None
+        LAST_TIMINGS["native_geometry_ms"] += (
+            _time.perf_counter() - t0
+        ) * 1e3
+        done_cells = n_to
 
-    t0 = _time.perf_counter()
-    total = mc.pvals_chunk(np.asarray(pvals_b)[:pcount_b])  # blocks
-    if total != mc.expected_points():  # device/host disagree
-        return None
-    LAST_TIMINGS["pvals_wait_ms"] += (_time.perf_counter() - t0) * 1e3
-
-    t0 = _time.perf_counter()
-    if not mc.geometry(None, n_a, n_active):
-        return None
-    LAST_TIMINGS["native_geometry_ms"] += (_time.perf_counter() - t0) * 1e3
-
-    t0 = _time.perf_counter()
-    ci2 = mc.color_inputs_since(e1, c1)
-    chunks.append((ci2, *launch_blends(ci2)))
-    LAST_TIMINGS["color_dispatch_ms"] += (_time.perf_counter() - t0) * 1e3
+        t0 = _time.perf_counter()
+        ci = mc.color_inputs_since(e_prev, c_prev)
+        e_prev, c_prev = mc.n_edge, mc.n_center
+        chunks.append((ci, *launch_blends(ci)))
+        LAST_TIMINGS["color_dispatch_ms"] += (
+            _time.perf_counter() - t0
+        ) * 1e3
 
     # --- gradient accumulation + finalize in C++ while colors stream ---
     t0 = _time.perf_counter()
