@@ -613,10 +613,13 @@ def bench_occupancy(roofline: dict) -> dict:
         float(bwd(scene, view))
     jax.profiler.stop_trace()
 
+    import shutil
+
     files = glob.glob(
         os.path.join(tdir, "**", "*.xplane.pb"), recursive=True
     )
     if not files:
+        shutil.rmtree(tdir, ignore_errors=True)
         return {"occupancy_note": "no xplane trace captured"}
     pd = jax.profiler.ProfileData.from_file(files[0])
     mins: dict = {}
@@ -631,6 +634,7 @@ def bench_occupancy(roofline: dict) -> dict:
                     if tag in e.name:
                         ms = e.duration_ns / 1e6
                         mins[tag] = min(mins.get(tag, ms), ms)
+    shutil.rmtree(tdir, ignore_errors=True)  # traces are ~MBs per run
     out = {"occupancy_trace_frames": 4}
     ls_compute = roofline.get("lightspeed_ms_compute")
     ls_census = roofline.get("lightspeed_ms_census")

@@ -202,13 +202,6 @@ def _scatter_point_values(values, pmask, step: int, lx: int, ly: int,
     return out.at[pos].set(pv_dense, mode="drop")[:psize]
 
 
-def _fetch_bucket(count: int) -> int:
-    """Static gather/fetch bucket: the true count rounded up to 32768. Bounds
-    the number of distinct jit shapes without padding transfers by more than
-    ~1.3 MB."""
-    return -(-count // 32768) * 32768
-
-
 @jax.jit
 def _edge_vertex_colors_from_grid(values_flat, colors_flat, base, vi, off1,
                                   off2, iso):

@@ -91,6 +91,8 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # nx, ny, nz
             ctypes.c_int64, ctypes.c_double,          # step, iso
         ]
+        lib.mc_set_geo_workers.restype = None
+        lib.mc_set_geo_workers.argtypes = [ctypes.c_int32]
         lib.mc_sparse_pvals_chunk.restype = ctypes.c_int64
         lib.mc_sparse_pvals_chunk.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -173,6 +175,15 @@ def grad_edges(evi, ecell, vid, v8, vg, normals, eps: float) -> None:
         _ptr(p1), _ptr(p2), _ptr(mc1), _ptr(mc2),
         ctypes.c_double(eps), _ptr(normals),
     )
+
+
+def set_geo_workers(n: int) -> None:
+    """Override mc_sparse_geometry's worker-count rule: -1 = auto (direct
+    rolling-layer path below 4 hardware threads, threaded worker+merge
+    above), 1 = force direct, >= 2 = force threaded with that many workers.
+    The parity tests use this to exercise BOTH dedup implementations on any
+    host (tests/test_native.py)."""
+    _lib.mc_set_geo_workers(int(n))
 
 
 def decode_bits(words: np.ndarray, count: int) -> np.ndarray:
@@ -322,7 +333,11 @@ class McSparse:
         return verts, normals, stream
 
     def close(self):
-        if getattr(self, "_handle", None):
+        # The _lib guard matters for the __del__ backstop: at interpreter
+        # shutdown the module globals may already be cleared, and a free
+        # through a torn-down CDLL would raise "Exception ignored in
+        # __del__" noise (the OS reclaims the memory anyway at that point).
+        if getattr(self, "_handle", None) and _lib is not None:
             _lib.mc_sparse_free(self._handle)
             self._handle = None
 

@@ -572,6 +572,15 @@ static void geo_worker(const McResult* r, int64_t start, int64_t end,
     }
 }
 
+// Worker-count override for mc_sparse_geometry: <0 = auto (hardware
+// concurrency, direct path below 4), 1 = force the direct rolling-layer
+// path, >=2 = force the threaded worker+merge path with that many workers.
+// Exposed so the parity suite can exercise BOTH dedup implementations on
+// any host (the auto rule would otherwise pick exactly one per machine).
+static int g_geo_workers_override = -1;
+
+void mc_set_geo_workers(int n) { g_geo_workers_override = n; }
+
 // Append a chunk of point values (for split transfers: the caller ships the
 // low-z half of the compacted point stream first and runs the geometry over
 // the low-z cells WHILE the high-z half still streams over the link).
@@ -821,13 +830,20 @@ int32_t mc_sparse_geometry(void* handle, const float* pvals,
     // the hash weld with O(1) layer slots).
     unsigned hw = std::thread::hardware_concurrency();
     if (hw == 0) hw = 1;
-    if (r->geo_mode == 0) r->geo_mode = hw < 4 ? 1 : 2;
+    if (g_geo_workers_override >= 1) hw = g_geo_workers_override;
+    if (r->geo_mode == 0)
+        r->geo_mode =
+            (g_geo_workers_override >= 2 || (g_geo_workers_override < 0
+                                             && hw >= 4)) ? 2 : 1;
     const int64_t span = end - start;
     // Inside threaded mode a small chunk still runs the worker+merge path
     // (one worker) — the two modes keep different dedup state, so chunks
     // of one handle must never mix them.
     int64_t n_workers = std::min<int64_t>(
         static_cast<int64_t>(hw), std::max<int64_t>(1, span / 16384));
+    if (g_geo_workers_override >= 2 && r->geo_mode == 2)
+        n_workers = std::min<int64_t>(
+            g_geo_workers_override, std::max<int64_t>(1, span));
 
     if (r->geo_mode == 1) {
         geo_direct(r, start, end);

@@ -477,8 +477,16 @@ class IterativeClosestPoint:
                 "parity=True for customized thresholds"
             )
         if not parity:
+            # Reuse (and cache) the instance's grid index: rebuilding it per
+            # call costs a host O(N) bucketing pass plus a multi-MB device
+            # upload over the tunneled link.
+            grid = None
+            if self._nn.total_points >= self._nn._grid_min:
+                if self._nn._grid is None:
+                    self._nn._grid = GridNN(self._nn.points)
+                grid = self._nn._grid
             aligned, total = register_points_jax(
-                self._nn.points, points, self.max_iterations
+                self._nn.points, points, self.max_iterations, grid=grid
             )
             return (
                 np.asarray(aligned, np.float32),
@@ -695,7 +703,7 @@ def _register_points_jax_grid(static_points, p_grid, p_orig, lo, cell,
 
 def register_points_jax(static_points, points,
                         max_iterations: int = MAX_ITERATIONS,
-                        nn: str = "auto"):
+                        nn: str = "auto", grid: "GridNN | None" = None):
     """Differentiable, jit-compiled ICP. Returns (aligned_points,
     total_transform) as jnp arrays; gradients flow to both point sets (e.g.
     ``jax.grad`` of an alignment loss w.r.t. a scan transform works). The
@@ -707,6 +715,11 @@ def register_points_jax(static_points, points,
     GRID_NN_MIN_POINTS when the build succeeds. All choices produce the
     same correspondences (the grid path brute-repairs every query whose
     answer isn't provably exact), so the trajectory is searcher-independent.
+
+    ``grid``: a pre-built GridNN over ``static_points`` to reuse — the
+    build is host O(N) bucketing plus a multi-MB dense bucket-array upload
+    over the link, so repeated registrations against one static set should
+    not pay it per call (IterativeClosestPoint passes its cached index).
     """
     static_points = jnp.asarray(static_points, jnp.float32).reshape(-1, 3)
     points = jnp.asarray(points, jnp.float32).reshape(-1, 3)
@@ -716,7 +729,8 @@ def register_points_jax(static_points, points,
     if nn != "brute" and (
         nn == "grid" or static_points.shape[0] >= GRID_NN_MIN_POINTS
     ):
-        grid = GridNN(np.asarray(static_points))
+        if grid is None:
+            grid = GridNN(np.asarray(static_points))
         if grid.ok:
             return _register_points_jax_grid(
                 static_points, *grid._dev, points, int(max_iterations),
@@ -724,8 +738,9 @@ def register_points_jax(static_points, points,
             )
         if nn == "grid":
             raise ValueError(
-                "grid NN index declined (degenerate clustering: a bucket "
-                "exceeds max_bucket); use nn='brute' or 'auto'"
+                "grid NN index declined (a bucket exceeds max_bucket — "
+                "degenerate clustering — or the dense bucket layout "
+                "exceeds max_dense_bytes); use nn='brute' or 'auto'"
             )
     return _register_points_jax(static_points, points, int(max_iterations), chunk)
 

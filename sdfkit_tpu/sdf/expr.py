@@ -215,6 +215,11 @@ class SdfExpr:
             raise ValueError(f"unknown combine mode {combine!r}")
         if any(a not in "xyz" for a in axes) or not axes:
             raise ValueError(f"axes must be a subset of 'xyz', got {axes!r}")
+        if len(tuple(sizes)) != len(axes):
+            raise ValueError(
+                f"got {len(tuple(sizes))} sizes for {len(axes)} axes "
+                f"({axes!r}) — zip would silently drop the rest"
+            )
         return RepeatIndexedColor(
             self,
             sizes=tuple(_f32(s) for s in sizes),

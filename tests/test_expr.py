@@ -328,3 +328,5 @@ class TestRepeatIndexedColor:
                                           combine="bogus")
         with pytest.raises(ValueError, match="axes"):
             sk.sphere(1.0).repeat_indexed("w", (1.0,), self._palette())
+        with pytest.raises(ValueError, match="sizes"):
+            sk.sphere(1.0).repeat_indexed("xy", (1.0,), self._palette())

@@ -281,3 +281,29 @@ def test_mc_sparse_chunked_pvals_guards():
         assert mc.expected_points() != 3
     finally:
         mc.close()
+
+
+def test_threaded_geometry_matches_direct():
+    """Both C++ dedup implementations — the direct rolling-layer path and
+    the threaded worker+merge path — must produce identical meshes. The
+    auto rule picks exactly ONE per machine (by core count), so this forces
+    each in turn via the worker-count override; without it the threaded
+    path would never run under the suite on small hosts."""
+    import sdfkit_tpu as sk
+
+    s = sk.sphere(0.8).union(sk.torus(0.6, 0.25))
+    vox = sk.voxelize(s, (-1.2,) * 3, (1.2,) * 3, 64, 64, 64)
+    try:
+        native.set_geo_workers(1)
+        m_direct = vox.to_mesh()
+        native.set_geo_workers(3)  # force threaded with a real multi-merge
+        m_threaded = vox.to_mesh()
+    finally:
+        native.set_geo_workers(-1)
+    assert len(m_direct.vertices) > 1000
+    np.testing.assert_array_equal(m_threaded.vertices, m_direct.vertices)
+    np.testing.assert_array_equal(m_threaded.triangles, m_direct.triangles)
+    np.testing.assert_array_equal(m_threaded.colors, m_direct.colors)
+    # Normal ACCUMULATION differs in structure (inline-in-stream vs the
+    # deferred pass) but both walk the same stream order — bit-identical.
+    np.testing.assert_array_equal(m_threaded.normals, m_direct.normals)
