@@ -565,8 +565,10 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     # ship low-z first and the host geometry over already-covered cells
     # overlaps the remaining chunks' time on the link. More chunks on big
     # grids (512^3 ships ~10 MB of point values — nearly all the host work
-    # hides under it); small grids keep dispatch overhead low.
-    n_chunks = 4 if lz >= 128 else 2
+    # hides under it); small grids keep dispatch overhead low. The 96
+    # threshold keeps the 4-chunk path inside the CPU suite's 128^3 golden
+    # (tests/test_marching_cubes.py::test_sphere128_progress).
+    n_chunks = 4 if lz >= 96 else 2
     edges = sorted(
         {max(1, round((k + 1) * (lz + 1) / n_chunks))
          for k in range(n_chunks - 1)} | {lz + 1}

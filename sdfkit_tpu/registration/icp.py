@@ -680,17 +680,28 @@ def _register_points_jax_grid(static_points, p_grid, p_orig, lo, cell,
         idx_g, ok = _grid_query(p_grid, p_orig, lo, cell, G, Kq, pts)
         bad = ~ok
         n_bad = bad.sum()
-        # Unguaranteed queries first (stable argsort of the guarantee flag),
-        # then one fixed-shape brute pass over that slice.
-        ridx = jnp.argsort(ok)[:cap]
-        bidx, _ = _nn_chunked(static_points, pts[ridx], chunk)
-        idx_fixed = idx_g.at[ridx].set(
-            jnp.where(bad[ridx], bidx, idx_g[ridx])
-        )
+
+        def repair():
+            # Unguaranteed queries first (stable argsort of the guarantee
+            # flag), then one fixed-shape brute pass over that slice.
+            ridx = jnp.argsort(ok)[:cap]
+            bidx, _ = _nn_chunked(static_points, pts[ridx], chunk)
+            return idx_g.at[ridx].set(
+                jnp.where(bad[ridx], bidx, idx_g[ridx])
+            )
+
+        # Three-way by unguaranteed count (nested cond; only the taken
+        # branch executes on TPU): 0 -> grid answers stand as-is (the
+        # common case near convergence — skips the ~8 ms repair sort+scan),
+        # <= cap -> fixed-shape repair, beyond -> full brute pass.
         idx = jax.lax.cond(
-            n_bad > cap,
-            lambda: _nn_chunked(static_points, pts, chunk)[0],
-            lambda: idx_fixed,
+            n_bad == 0,
+            lambda: idx_g,
+            lambda: jax.lax.cond(
+                n_bad > cap,
+                lambda: _nn_chunked(static_points, pts, chunk)[0],
+                repair,
+            ),
         )
         cor = static_points[idx]
         diff = pts - cor
