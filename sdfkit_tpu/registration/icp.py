@@ -87,12 +87,14 @@ def nearest_neighbors(points, queries, chunk: int = 2048):
 # search). Pointer-chasing trees don't map to TPU, and neither do per-query
 # GATHERS of neighbor buckets (measured 170+ ms just to gather 27 x
 # (100k, K, 3) candidate blocks on v5e — TPU gathers are scalar-unit work).
-# The TPU-native formulation is DENSE: points are bucketed once into a
-# zero-PADDED (G+2, G+2, G+2, K, 3) array at build, so a query cell's 27
-# neighbor buckets are 27 STATIC SLICES (shifts) of that array — no gathers
-# at all; queries are sorted by cell per call and scattered into their own
-# (G, G, G, Kq) slot grid, and all distance work is dense VPU math
-# (7.8x faster than the gather formulation at 100k points).
+# The TPU-native formulation is DENSE: points are bucketed once into
+# flat-shift arrays (cells-MINOR (K, 3, P+2M) layout over the padded flat
+# cell space — full 128-lane vectors; see _grid_query), so a query cell's
+# 27 neighbor buckets are 27 contiguous flat SHIFTS of that array — no
+# gathers at all; queries are sorted by cell per call and scattered into a
+# matching (Kq, P) slot grid, and all distance work is dense VPU math
+# (the gather formulation measured 170+ ms per pass at 100k; the first
+# dense cells-major layout 39 ms; this one runs lanes full).
 #
 # Exactness is guaranteed, not assumed: a query is re-answered by the
 # brute-force kernel when (a) its best distance could be beaten by a point
@@ -113,20 +115,34 @@ GRID_NN_MIN_POINTS = 50_000  # brute force keeps small clouds (MXU-fast)
 @partial(jax.jit, static_argnums=(4, 5))
 def _grid_query(p_grid, p_orig, lo, cell, G: int, Kq: int, queries):
     """Dense grid NN pass (see the module comment). ``p_grid``/``p_orig``
-    are the padded (G+2, G+2, G+2, K[, 3]) bucket arrays from GridNN.
+    are GridNN's flat-shift bucket arrays: shape (K, 3, P + 2*M) /
+    (K, P + 2*M), where P = (G+2)^3 is the PADDED flat cell space (minor
+    dim — so every elementwise/reduce op runs on full 128-lane vectors;
+    the earlier cells-major layout put K~17 in the lane dim and wasted
+    ~87% of each vector) and M = (G+2)^2 + (G+2) + 1 is the shift margin:
+    the bucket of a cell's neighbor at offset (dx, dy, dz) is the SAME
+    flat array shifted by dx*(G+2)^2 + dy*(G+2) + dz, so each of the 27
+    neighbor visits is one contiguous dynamic_slice — no gathers, no
+    relayouts. Real data lives at [M, M+P); the pad ring holds sentinel
+    points and receives no queries, so shift garbage is masked out.
+
     Returns (orig_idx, guaranteed) in the caller's query order:
     ``guaranteed`` marks queries whose answer is provably the exact NN AND
     not a near-tie (those go to the brute repair pass so the grid matches
     the brute kernel's own rounding; see GridNN.query)."""
     n_q = queries.shape[0]
-    K = p_grid.shape[3]
+    K = p_grid.shape[0]
+    gp = G + 2
+    P = gp * gp * gp
+    M = gp * gp + gp + 1
     n_sentinel = jnp.int32(2**31 - 1)  # > any real original index
     q = queries
     qc = jnp.clip(
         jnp.floor((q - lo[None, :]) / cell[None, :]).astype(jnp.int32),
         0, G - 1,
     )
-    qflat = (qc[:, 0] * G + qc[:, 1]) * G + qc[:, 2]
+    # Padded flat cell id (+1 per axis: the pad ring).
+    qflat = ((qc[:, 0] + 1) * gp + (qc[:, 1] + 1)) * gp + (qc[:, 2] + 1)
 
     # Sort queries by cell and compute each one's slot within its cell run.
     iota = jnp.arange(n_q, dtype=jnp.int32)
@@ -138,50 +154,52 @@ def _grid_query(p_grid, p_orig, lo, cell, G: int, Kq: int, queries):
     )
     pos = iota - run_start
     ok_slot = pos < Kq  # overflow slots fall back to brute repair
-    slot = sk * Kq + jnp.where(ok_slot, pos, 0)
-    scatter_to = jnp.where(ok_slot, slot, G * G * G * Kq)
-    qg = jnp.zeros((G * G * G * Kq, 3), jnp.float32)
-    qg = qg.at[scatter_to].set(qs, mode="drop").reshape(G, G, G, Kq, 3)
-    qv = jnp.zeros((G * G * G * Kq,), bool)
-    qv = qv.at[scatter_to].set(True, mode="drop").reshape(G, G, G, Kq)
+    safe_pos = jnp.where(ok_slot, pos, 0)
+    # Dense query arrays, cells-minor: (Kq, 3, P) coords + (Kq, P) valid.
+    coord3 = jnp.arange(3, dtype=jnp.int32)
+    q_to = jnp.where(
+        ok_slot[:, None], (safe_pos[:, None] * 3 + coord3[None, :]) * P + sk[:, None],
+        Kq * 3 * P,
+    )
+    qg = jnp.zeros((Kq * 3 * P,), jnp.float32)
+    qg = qg.at[q_to.reshape(-1)].set(qs.reshape(-1), mode="drop")
+    qg = qg.reshape(Kq, 3, P)
+    qv = jnp.zeros((Kq * P,), bool)
+    qv = qv.at[
+        jnp.where(ok_slot, safe_pos * P + sk, Kq * P)
+    ].set(True, mode="drop").reshape(Kq, P)
 
-    offs = jnp.asarray(
-        [[ox, oy, oz] for ox in (0, 1, 2) for oy in (0, 1, 2)
-         for oz in (0, 1, 2)],
+    shifts = jnp.asarray(
+        [dx * gp * gp + dy * gp + dz
+         for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
         jnp.int32,
     )
     kr = jnp.arange(K, dtype=jnp.int32)
 
     def block(j, carry):
         best, best2, borig = carry
-        o = offs[j]
-        pblk = jax.lax.dynamic_slice(
-            p_grid, (o[0], o[1], o[2], 0, 0), (G, G, G, K, 3)
-        )
-        oblk = jax.lax.dynamic_slice(
-            p_orig, (o[0], o[1], o[2], 0), (G, G, G, K)
-        )
+        off = M + shifts[j]
+        pblk = jax.lax.dynamic_slice(p_grid, (0, 0, off), (K, 3, P))
+        oblk = jax.lax.dynamic_slice(p_orig, (0, off), (K, P))
         d2 = jnp.sum(
-            (qg[:, :, :, :, None, :] - pblk[:, :, :, None, :, :]) ** 2,
-            axis=-1,
-        )
+            (qg[:, None, :, :] - pblk[None, :, :, :]) ** 2, axis=2
+        )  # (Kq, K, P)
         d2 = jnp.where(
-            oblk[:, :, :, None, :] < n_sentinel, d2, jnp.inf
+            oblk[None, :, :] < n_sentinel, d2, jnp.inf
         )  # empty point slots
-        bd = jnp.min(d2, axis=-1)
+        bd = jnp.min(d2, axis=1)  # (Kq, P)
         bo = jnp.min(
-            jnp.where(d2 <= bd[..., None], oblk[:, :, :, None, :],
-                      n_sentinel),
-            axis=-1,
+            jnp.where(d2 <= bd[:, None, :], oblk[None, :, :], n_sentinel),
+            axis=1,
         )
         # Runner-up: exclude ONE argmin position (exact duplicates of bd
         # keep a second copy, so bd2 == bd there and the near-tie check
         # routes the query to brute repair, as it must).
-        am = jnp.argmin(d2, axis=-1)
+        am = jnp.argmin(d2, axis=1)  # (Kq, P)
         d2x = jnp.where(
-            kr[None, None, None, None, :] == am[..., None], jnp.inf, d2
+            kr[None, :, None] == am[:, None, :], jnp.inf, d2
         )
-        bd2 = jnp.min(d2x, axis=-1)
+        bd2 = jnp.min(d2x, axis=1)
         tie = bd == best
         better = bd < best
         new_borig = jnp.where(
@@ -194,7 +212,7 @@ def _grid_query(p_grid, p_orig, lo, cell, G: int, Kq: int, queries):
         )
         return jnp.minimum(best, bd), new_best2, new_borig
 
-    shape = (G, G, G, Kq)
+    shape = (Kq, P)
     best, best2, borig = jax.lax.fori_loop(
         0, 27, block,
         (
@@ -207,20 +225,20 @@ def _grid_query(p_grid, p_orig, lo, cell, G: int, Kq: int, queries):
     # Safe radius per dense slot: the nearest possible point OUTSIDE the
     # 3x3x3 block is at least this far (per axis: distance to the block
     # face, infinite where the block is clipped by the data bounding box —
-    # no points beyond it).
-    gr = jnp.arange(G, dtype=jnp.int32)
-    gc = jnp.stack(jnp.meshgrid(gr, gr, gr, indexing="ij"), axis=-1)
-    low_face = lo + (gc.astype(jnp.float32) - 1.0) * cell
-    high_face = lo + (gc.astype(jnp.float32) + 2.0) * cell
+    # no points beyond it). Cell coords recovered from the padded flat id.
+    pf = jnp.arange(P, dtype=jnp.int32)
+    gc = jnp.stack(
+        [pf // (gp * gp) - 1, (pf // gp) % gp - 1, pf % gp - 1]
+    )  # (3, P), pad ring at -1 / G
+    low_face = lo[:, None] + (gc.astype(jnp.float32) - 1.0) * cell[:, None]
+    high_face = lo[:, None] + (gc.astype(jnp.float32) + 2.0) * cell[:, None]
     r_low = jnp.where(
-        (gc - 1 >= 0)[:, :, :, None, :],
-        qg - low_face[:, :, :, None, :], jnp.inf,
+        (gc - 1 >= 0)[None, :, :], qg - low_face[None, :, :], jnp.inf
     )
     r_high = jnp.where(
-        (gc + 2 <= G)[:, :, :, None, :],
-        high_face[:, :, :, None, :] - qg, jnp.inf,
+        (gc + 2 <= G)[None, :, :], high_face[None, :, :] - qg, jnp.inf
     )
-    r_safe = jnp.min(jnp.minimum(r_low, r_high), axis=-1)
+    r_safe = jnp.min(jnp.minimum(r_low, r_high), axis=1)  # (Kq, P)
 
     in_block = jnp.sqrt(best) < r_safe  # boundary ties go to brute force
     # Near-tie between winner and runner-up: the brute kernel's MXU
@@ -228,10 +246,11 @@ def _grid_query(p_grid, p_orig, lo, cell, G: int, Kq: int, queries):
     # cancellation error relative to the coordinate magnitudes), so send
     # those to the brute repair pass and let IT resolve the tie. The bound
     # is scale-aware via |q|^2 (the dominant magnitude in q^2 - 2qp + p^2).
-    tie_eps = 1e-5 * (1.0 + jnp.sum(qg * qg, axis=-1))
+    tie_eps = 1e-5 * (1.0 + jnp.sum(qg * qg, axis=1))
     guaranteed = in_block & ((best2 - best) > tie_eps) & qv
 
     # Map dense slots back to the caller's query order.
+    slot = safe_pos * P + sk
     res_i = borig.reshape(-1)[slot]
     res_g = guaranteed.reshape(-1)[slot] & ok_slot
     inv = jnp.zeros(n_q, jnp.int32).at[perm].set(iota)
@@ -284,22 +303,26 @@ class GridNN:
         starts = np.concatenate(
             [[0], np.cumsum(counts)[:-1]]
         ).astype(np.int64)
-        # Dense padded bucket arrays (vectorized fill): bucket order is
-        # original-index-ascending (stable sort), which the masked
-        # index-min in _grid_query relies on for tie-breaking.
+        # Flat-shift bucket arrays (see _grid_query): cells-minor
+        # (K, 3, P + 2M) layout with an M-element shift margin on both
+        # ends, real data at [M, M + P). Bucket order is original-index-
+        # ascending (stable sort), which the masked index-min in
+        # _grid_query relies on for tie-breaking.
+        p_flat = gp * gp * gp
+        margin = gp * gp + gp + 1
         rank_in_bucket = np.arange(n, dtype=np.int64) - starts[flat_sorted]
         cs = ci[order] + 1  # +1: pad ring
-        slot = ((cs[:, 0] * gp + cs[:, 1]) * gp + cs[:, 2]) * K \
-            + rank_in_bucket
-        p_grid = np.zeros((gp * gp * gp * K, 3), np.float32)
-        p_orig = np.full(gp * gp * gp * K, 2**31 - 1, np.int32)
-        p_grid[slot] = pts[order]
-        p_orig[slot] = order
+        cell_id = (cs[:, 0] * gp + cs[:, 1]) * gp + cs[:, 2]
+        ext = p_flat + 2 * margin
+        p_grid = np.zeros((K, 3, ext), np.float32)
+        p_orig = np.full((K, ext), 2**31 - 1, np.int32)
+        p_grid[rank_in_bucket, :, margin + cell_id] = pts[order]
+        p_orig[rank_in_bucket, margin + cell_id] = order
         self.G, self.K = G, K
         self.Kq = K + 8  # query slots per cell before overflow->repair
         self._dev = (
-            jnp.asarray(p_grid.reshape(gp, gp, gp, K, 3)),
-            jnp.asarray(p_orig.reshape(gp, gp, gp, K)),
+            jnp.asarray(p_grid),
+            jnp.asarray(p_orig),
             jnp.asarray(lo),
             jnp.asarray(cell),
         )
