@@ -182,8 +182,10 @@ def set_geo_workers(n: int) -> None:
     rolling-layer path below 4 hardware threads, threaded worker+merge
     above), 1 = force direct, >= 2 = force threaded with that many workers.
     The parity tests use this to exercise BOTH dedup implementations on any
-    host (tests/test_native.py)."""
-    _lib.mc_set_geo_workers(int(n))
+    host (tests/test_native.py). No-op when the native library is
+    unavailable (numpy-fallback hosts keep degrading gracefully)."""
+    if _lib is not None:
+        _lib.mc_set_geo_workers(int(n))
 
 
 def decode_bits(words: np.ndarray, count: int) -> np.ndarray:

@@ -289,14 +289,16 @@ class GridNN:
         K = int(counts.max()) if n else 0
         gp = G + 2
         # Decline when the dense layouts would blow up: the bucket arrays
-        # are O(G^3 K) and the per-query distance tensor is O(G^3 K Kq) —
-        # both explode when clustering pushes K far past target_per_cell
-        # (that degenerate regime is exactly what max_bucket exists for;
-        # callers fall back to the brute MXU kernel).
+        # are O((G+2)^3 K) and the per-query distance tensor is
+        # O((G+2)^3 K Kq) (the flat-shift layout computes over the PADDED
+        # cell space) — both explode when clustering pushes K far past
+        # target_per_cell (that degenerate regime is exactly what
+        # max_bucket exists for; callers fall back to the brute MXU
+        # kernel).
         self.ok = (
             0 < K <= max_bucket
             and gp * gp * gp * K * 16 <= max_dense_bytes
-            and G * G * G * K * (K + 8) * 4 <= max_dense_bytes
+            and gp * gp * gp * K * (K + 8) * 4 <= max_dense_bytes
         )
         if not self.ok:
             return

@@ -215,9 +215,10 @@ class SdfExpr:
             raise ValueError(f"unknown combine mode {combine!r}")
         if any(a not in "xyz" for a in axes) or not axes:
             raise ValueError(f"axes must be a subset of 'xyz', got {axes!r}")
-        if len(tuple(sizes)) != len(axes):
+        sizes = tuple(sizes)  # bind once: the caller may pass an iterator
+        if len(sizes) != len(axes):
             raise ValueError(
-                f"got {len(tuple(sizes))} sizes for {len(axes)} axes "
+                f"got {len(sizes)} sizes for {len(axes)} axes "
                 f"({axes!r}) — zip would silently drop the rest"
             )
         return RepeatIndexedColor(
