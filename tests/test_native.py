@@ -307,3 +307,28 @@ def test_threaded_geometry_matches_direct():
     # Normal ACCUMULATION differs in structure (inline-in-stream vs the
     # deferred pass) but both walk the same stream order — bit-identical.
     np.testing.assert_array_equal(m_threaded.normals, m_direct.normals)
+
+
+def test_four_chunk_pipeline_with_step_and_iso():
+    """The K-chunk point-value pipeline (4 chunks past 96 cell layers) with
+    step > 1 and iso != 0: chunk edges are in CELL z units and the per-range
+    rank guards are step-independent — pin that by comparing the native
+    pipeline against the numpy oracle on a grid deep enough to take the
+    4-chunk path at step 2."""
+    import os
+
+    import sdfkit_tpu as sk
+
+    s = sk.sphere(0.9).union(sk.box(0.5))
+    vox = sk.voxelize(s, (-1.3,) * 3, (1.3,) * 3, 200, 64, 200)
+    m_nat = vox.to_mesh(iso_value=0.05, step=2)
+    os.environ["SDFKIT_TPU_NO_NATIVE"] = "1"
+    try:
+        m_np = vox.to_mesh(iso_value=0.05, step=2)
+    finally:
+        del os.environ["SDFKIT_TPU_NO_NATIVE"]
+    assert len(m_nat.vertices) > 500
+    np.testing.assert_array_equal(m_nat.vertices, m_np.vertices)
+    np.testing.assert_array_equal(m_nat.triangles, m_np.triangles)
+    np.testing.assert_array_equal(m_nat.colors, m_np.colors)
+    np.testing.assert_allclose(m_nat.normals, m_np.normals, atol=2e-5, rtol=0)
