@@ -478,3 +478,36 @@ class TestGridScanIcp:
 
         with pytest.raises(ValueError, match="grid NN index declined"):
             register_points_jax(pts, pts[:10], nn="grid")
+
+
+class TestGridNNEdgeCases:
+    def test_single_query_and_duplicate_points(self):
+        from sdfkit_tpu.registration.icp import GridNN, nearest_neighbors
+
+        rng = np.random.default_rng(9)
+        base = rng.random((3000, 3)).astype(np.float32)
+        # Exact duplicates: ties must break to the LOWEST original index
+        # in both paths (the near-tie rule sends them to brute repair).
+        pts = np.concatenate([base, base[:500]])
+        grid = GridNN(pts)
+        assert grid.ok
+        q = base[250:251] + np.float32(1e-4)
+        gi, gd = grid.query(q)
+        bi, bd = nearest_neighbors(pts, q)
+        np.testing.assert_array_equal(gi, np.asarray(bi))
+        assert int(gi[0]) == 250  # not the duplicate at 3250
+
+    def test_all_queries_one_cell_overflow_repair(self):
+        from sdfkit_tpu.registration.icp import GridNN, nearest_neighbors
+
+        rng = np.random.default_rng(10)
+        pts = rng.random((4000, 3)).astype(np.float32)
+        grid = GridNN(pts)
+        assert grid.ok
+        # Far more queries than Kq slots, all in one cell: the overflow
+        # slots must be brute-repaired, answers still exact.
+        q = (np.float32(0.5) + rng.random((grid.Kq * 5, 3)).astype(np.float32)
+             * np.float32(1e-3))
+        gi, gd = grid.query(q)
+        bi, bd = nearest_neighbors(pts, q)
+        np.testing.assert_array_equal(gi, np.asarray(bi))

@@ -278,3 +278,26 @@ class TestFusedSharded:
         )
         assert stats["rendered"] == 2
         np.testing.assert_allclose(img_1, img_f, atol=2e-2)
+
+
+class TestIndexedPaletteSharded:
+    def test_elastic_tiles_with_palette_scene(self, mesh, tmp_path):
+        # The (T, 3) palette data leaf must survive the elastic fused tile
+        # path's param flattening under shard_map exactly like the plain
+        # scene tree does.
+        import jax.numpy as jnp
+
+        from sdfkit_tpu.parallel.elastic import render_tiles_resumable
+        from sdfkit_tpu.render.raymarch import RayMarcher
+
+        s = sk.sphere(0.5).repeat_indexed(
+            "xy", (1.125, 1.125),
+            jnp.asarray([[0.9, 0.2, 0.2], [0.2, 0.9, 0.2]]),
+        )
+        img_1 = np.asarray(RayMarcher(32, 16, s, backend="fused").render())
+        img_f, stats = render_tiles_resumable(
+            s, 32, 16, tmp_path / "pal", tile_rows=8, mesh=mesh,
+            backend="fused",
+        )
+        assert stats["rendered"] == 2
+        np.testing.assert_allclose(img_1, img_f, atol=2e-2)
