@@ -653,13 +653,33 @@ static void geo_direct(McResult* r, int64_t start, int64_t end) {
         const int64_t cx = a % lx, cy = (a / lx) % ly, cz = a / (lx * ly);
         const int64_t gx = cx * step, gy = cy * step, gz = cz * step;
 
+        // Prefetch the NEXT cell's corner-index cache lines: at 512^3 the
+        // bitmap+rank+pvals working set is tens of MB and this loop is
+        // cache-miss-bound; the next cell's corners are computable now.
+        if (i + 1 < end) {
+            const int64_t an = active[i + 1];
+            const int64_t nxc = an % lx, nyc = (an / lx) % ly,
+                          nzc = an / (lx * ly);
+            const int64_t pid0 = (nzc * py_n + nyc) * px_n + nxc;
+            const int64_t pid4 = ((nzc + 1) * py_n + nyc) * px_n + nxc;
+            __builtin_prefetch(&bm[pid0 >> 6]);
+            __builtin_prefetch(&rank[pid0 >> 6]);
+            __builtin_prefetch(&bm[pid4 >> 6]);
+            __builtin_prefetch(&rank[pid4 >> 6]);
+        }
+
         double v8[8];
         int case_byte = 0;
+        int64_t ppos[8];
         for (int k = 0; k < 8; ++k) {
             const int64_t pid = ((cz + CORNER_DZ[k]) * py_n
                                  + (cy + CORNER_DY[k])) * px_n
                               + (cx + CORNER_DX[k]);
-            const float val = pv[pos_of(pid)];
+            ppos[k] = pos_of(pid);
+            __builtin_prefetch(&pv[ppos[k]]);
+        }
+        for (int k = 0; k < 8; ++k) {
+            const float val = pv[ppos[k]];
             v8[k] = static_cast<double>(val) - iso;
             if (val > iso_f) case_byte |= 1 << k;
         }
