@@ -568,7 +568,7 @@ def create_mesh(voxels, iso_value: float = 0.0, step: int = 1, progress=None):
     # hides under it); small grids keep dispatch overhead low. The 96
     # threshold keeps the 4-chunk path inside the CPU suite's 128^3 golden
     # (tests/test_marching_cubes.py::test_sphere128_progress).
-    n_chunks = 4 if lz >= 96 else 2
+    n_chunks = 8 if lz >= 256 else (4 if lz >= 96 else 2)
     edges = sorted(
         {max(1, round((k + 1) * (lz + 1) / n_chunks))
          for k in range(n_chunks - 1)} | {lz + 1}
