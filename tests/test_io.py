@@ -103,3 +103,34 @@ class TestVoxelsPersistence:
         # Meshing the loaded volume works identically.
         m1, m2 = vox.to_mesh(), back.to_mesh()
         assert len(m1.vertices) == len(m2.vertices) > 0
+
+
+class TestTgaOrientation:
+    """The reference's VectorTests.BlackOnTop/RedOnTop analogues: row order
+    must survive into the FILE as an external decoder sees it (our own
+    read_tga would hide a mutual y-flip)."""
+
+    def test_red_on_top_external_decoder(self, tmp_path):
+        from PIL import Image
+
+        img = np.zeros((20, 30, 3), np.float32)
+        img[:10] = [1.0, 0.0, 0.0]   # top half red
+        img[10:] = [0.0, 1.0, 0.0]   # bottom half green
+        p = tmp_path / "red_on_top.tga"
+        write_tga(p, img)
+        decoded = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(decoded[0], [[255, 0, 0]] * 30)
+        np.testing.assert_array_equal(decoded[-1], [[0, 255, 0]] * 30)
+
+    def test_black_on_top_depth_external_decoder(self, tmp_path):
+        from PIL import Image
+
+        near, far = 0.0, 1.0
+        depth = np.zeros((20, 30), np.float32)
+        depth[:10] = far    # top half far -> black
+        depth[10:] = near   # bottom half near -> white
+        p = tmp_path / "black_on_top.tga"
+        write_depth_tga(p, depth, near=near, far=far)
+        decoded = np.asarray(Image.open(p).convert("RGB"))
+        assert decoded[0].max() == 0       # far = black on top
+        assert decoded[-1].min() == 255    # near = white at bottom
